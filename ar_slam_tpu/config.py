@@ -1,0 +1,132 @@
+"""Configuration tree for the ar_slam_tpu engine.
+
+The reference hard-codes several constants the survey calls out as
+should-be-config (tag size 0.0635 m at ar_slam_util.hpp:318-319, initial focal
+3000.0 at ar_slam_util.hpp:69, LM max iterations 50 at ar_slam_util.cpp:1004,
+merge queue depth 3 at merge_detections.cpp:125-126).  Here they are one
+serializable dataclass tree, with the reference values as defaults so that
+default-config runs replicate reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Shared pinhole camera intrinsics configuration.
+
+    The model is ``p = focal * (x/z, y/z)`` around the image center with two
+    radial terms carried-but-disabled, exactly like the reference
+    (ar_slam_util.cpp:131-172).
+    """
+
+    initial_focal: float = 3000.0  # ar_slam_util.hpp:69 "non-zero focal length"
+    enable_distortion: bool = False  # reference keeps l1,l2 commented out
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Levenberg–Marquardt trust-region configuration (≙ ceres options,
+    ar_slam_util.cpp:1001-1018)."""
+
+    max_iterations: int = 50
+    initial_lambda: float = 1e-4  # ceres initial trust-region ~ 1e4 radius
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e32
+    function_tolerance: float = 1e-6  # ceres default
+    parameter_tolerance: float = 1e-8  # ceres default
+    gradient_tolerance: float = 1e-10  # ceres default
+    # Jacobi (column-norm) scaling of the normal equations, as ceres does.
+    jacobi_scaling: bool = True
+    # Fix the gauge of the seed capture.  The reference leaves the gauge free
+    # (disabled code at ar_slam_util.cpp:776-779); off by default for parity.
+    fix_first_capture: bool = False
+    dtype: str = "float32"  # float32 on TPU; tests may use float64 on CPU
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    """Aruco detection configuration (≙ cv::aruco detector params used at
+    ar_slam_util.cpp:249-252 and aruco_detector.cpp:102-106)."""
+
+    dictionaries: tuple[str, ...] = ("4X4_50", "5X5_100")
+    min_corner_distance_rate: float = 0.1
+    adaptive_thresh_win_sizes: tuple[int, ...] = (23,)
+    adaptive_thresh_constant: float = 7.0
+    min_marker_perimeter_rate: float = 0.03
+    max_marker_perimeter_rate: float = 4.0
+    max_candidates: int = 64  # fixed candidate budget per image (TPU static shape)
+    border_bits: int = 1
+    max_hamming: dict[str, int] = field(
+        default_factory=lambda: {"4X4_50": 1, "5X5_100": 3}
+    )
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Streaming pipeline behavior (≙ component params, §2.1 of SURVEY)."""
+
+    pub_period: float = 0.5  # image_loader.cpp:92-102
+    merge_queue_depth: int = 3  # merge_detections.cpp:125-126
+    expected_detector_types: tuple[str, ...] = ("aruco_4X4_50", "aruco_5X5_100")
+    include_image: bool = True
+    output_map_fn: str = ""
+    display_debug: bool = False
+    event_log_path: str = ""  # ≙ bag_recorder.cpp fixed /tmp/ar_slam.bag
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    """Distributed BA configuration."""
+
+    data_axis: str = "blocks"  # mesh axis name for observation sharding
+    num_devices: int = 0  # 0 = all available
+
+
+@dataclass(frozen=True)
+class ArSlamConfig:
+    """Top-level configuration tree."""
+
+    aruco_size: float = 0.0635  # meters; 2.5 in (ar_slam_util.hpp:318-319)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    detect: DetectConfig = field(default_factory=DetectConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "ArSlamConfig":
+        def build(cls, data):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in data:
+                    continue
+                v = data[f.name]
+                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+                    v = build(f.type, v)
+                elif f.name in ("camera", "solver", "detect", "pipeline", "dist"):
+                    v = build(_SUB[f.name], v)
+                elif isinstance(v, list):
+                    v = tuple(v)
+                kw[f.name] = v
+            return cls(**kw)
+
+        return build(ArSlamConfig, d)
+
+
+_SUB = {
+    "camera": CameraConfig,
+    "solver": SolverConfig,
+    "detect": DetectConfig,
+    "pipeline": PipelineConfig,
+    "dist": DistConfig,
+}
+
+DEFAULT_CONFIG = ArSlamConfig()
