@@ -26,6 +26,9 @@ class CameraConfig:
 
     initial_focal: float = 3000.0  # ar_slam_util.hpp:69 "non-zero focal length"
     enable_distortion: bool = False  # reference keeps l1,l2 commented out
+    # "homography": self-calibrate initial focal from square-tag homographies
+    # (robust basin selection; see core/calib.py).  "fixed": reference parity.
+    focal_init_mode: str = "homography"
 
 
 @dataclass(frozen=True)
@@ -46,6 +49,9 @@ class SolverConfig:
     # (disabled code at ar_slam_util.cpp:776-779); off by default for parity.
     fix_first_capture: bool = False
     dtype: str = "float32"  # float32 on TPU; tests may use float64 on CPU
+    # "hybrid": frontal + homography seed candidates, keep the lower-residual
+    # one (robust to tag tilt).  "frontal": reference-parity heuristic only.
+    seed_mode: str = "hybrid"
 
 
 @dataclass(frozen=True)

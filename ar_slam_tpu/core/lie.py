@@ -142,6 +142,60 @@ def invert_axis_angle(aa):
     return -jnp.asarray(aa)
 
 
+def axis_angle_to_matrix(aa):
+    """(3,) axis-angle -> (3, 3) rotation matrix (Rodrigues)."""
+    aa = jnp.asarray(aa)
+    eye = jnp.eye(3, dtype=aa.dtype)
+    return jnp.stack(
+        [axis_angle_rotate(aa, eye[i]) for i in range(3)], axis=1
+    )
+
+
+def matrix_to_quaternion(m):
+    """(3, 3) rotation matrix -> (4,) quaternion (w, x, y, z), robust for all
+    rotation angles (Shepperd's method, branch-free via jnp.where)."""
+    m = jnp.asarray(m)
+    m00, m01, m02 = m[0, 0], m[0, 1], m[0, 2]
+    m10, m11, m12 = m[1, 0], m[1, 1], m[1, 2]
+    m20, m21, m22 = m[2, 0], m[2, 1], m[2, 2]
+    tr = m00 + m11 + m22
+
+    # four candidate extractions, each numerically good in its region
+    def cand_w():
+        s = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) * 2.0
+        return jnp.stack([0.25 * s, (m21 - m12) / s, (m02 - m20) / s,
+                          (m10 - m01) / s])
+
+    def cand_x():
+        s = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2.0
+        return jnp.stack([(m21 - m12) / s, 0.25 * s, (m01 + m10) / s,
+                          (m02 + m20) / s])
+
+    def cand_y():
+        s = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 2.0
+        return jnp.stack([(m02 - m20) / s, (m01 + m10) / s, 0.25 * s,
+                          (m12 + m21) / s])
+
+    def cand_z():
+        s = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 2.0
+        return jnp.stack([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s,
+                          0.25 * s])
+
+    use_w = (tr > m00) & (tr > m11) & (tr > m22) | (tr > 0.0)
+    use_x = (m00 >= m11) & (m00 >= m22) & ~use_w
+    use_y = (m11 > m00) & (m11 >= m22) & ~use_w
+    q = jnp.where(
+        use_w, cand_w(),
+        jnp.where(use_x, cand_x(), jnp.where(use_y, cand_y(), cand_z())),
+    )
+    return q / jnp.linalg.norm(q)
+
+
+def matrix_to_axis_angle(m):
+    """(3, 3) rotation matrix -> (3,) axis-angle, robust near theta = pi."""
+    return quaternion_to_axis_angle(matrix_to_quaternion(m))
+
+
 def normalize_angle(angle):
     """Wrap angle to [-pi, pi) (≙ normalize_angle, ar_slam_util.hpp:348-351)."""
     two_pi = 2.0 * jnp.pi

@@ -71,7 +71,12 @@ def project_corners(camera, inv_cap_pose, tag_pose, aruco_size):
         inv_cap_pose[None, 3:6], corners_w + inv_cap_pose[None, 0:3]
     )
     focal = camera[0]
-    return focal * corners_c[:, 0:2] / corners_c[:, 2:3]
+    # Sign-preserving depth clamp: padded/garbage problem rows can place a
+    # corner exactly at z=0; keep the math finite so masked lanes cannot
+    # poison reductions with inf/NaN (the LM mask zeroes them afterwards).
+    z = corners_c[:, 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, jnp.where(z < 0, -1e-9, 1e-9), z)
+    return focal * corners_c[:, 0:2] / z_safe
 
 
 def block_residual(camera, inv_cap_pose, tag_pose, observed, aruco_size):

@@ -1,14 +1,23 @@
-"""PnP-lite pose seeding (pure jnp, batchable).
+"""Pose seeding (pure jnp, batchable).
 
-Re-derivation of the reference's initialization heuristics
-(calcInitValues / initCapturePose / initArPose, ar_slam_util.cpp:52-128):
+Two seeding families:
 
-- Depth guess from the longest edge of the detected rect:
-  ``z = focal * aruco_size / max_edge`` (ar_slam_util.cpp:83).
-- x, y by back-projecting the corner centroid (ar_slam_util.cpp:84-85).
-- In-plane (z) rotation = running average of per-corner angle deltas versus
-  the canonical ARUCO_DIRECTIONS (ar_slam_util.cpp:72-80).  Out-of-plane
-  rotation is not estimated (TODO in the reference, ar_slam_util.cpp:70).
+1. The reference's frontal heuristics (calcInitValues / initCapturePose /
+   initArPose, ar_slam_util.cpp:52-128): depth from the longest rect edge
+   ``z = focal * aruco_size / max_edge`` (:83), x,y from corner-centroid
+   back-projection (:84-85), in-plane rotation from a running average of
+   per-corner angle deltas vs ARUCO_DIRECTIONS (:72-80).  Out-of-plane
+   rotation is NOT estimated (TODO at :70) — which strands tilted tags in
+   the flipped basin of the planar-pose ambiguity.
+
+2. Homography (Zhang-style) planar pose: the exact tag→image DLT homography
+   decomposed with K = diag(f, f, 1) gives the full 6-DoF tag pose in the
+   camera frame, including out-of-plane tilt.
+
+``seed_tag_pose`` / ``seed_capture_pose`` evaluate both candidates and keep
+the one with lower reprojection residual — strictly better initialization
+than the reference at negligible cost (config
+``SolverConfig.seed_mode = "hybrid" | "frontal"``).
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ import jax.numpy as jnp
 from ar_slam_tpu.core.lie import (
     axis_angle_rotate,
     compose_axis_angle,
+    matrix_to_axis_angle,
     normalize_angle,
 )
 from ar_slam_tpu.core.projection import ARUCO_DIRECTIONS
@@ -90,3 +100,128 @@ def init_ar_pose(corners, camera, inv_cap_pose, aruco_size):
     local_rot = jnp.stack([jnp.zeros_like(vals[3]), jnp.zeros_like(vals[3]), vals[3]])
     ar_rot = compose_axis_angle(cap_rotation, local_rot)
     return jnp.concatenate([ar_t, ar_rot])
+
+
+# ---------------------------------------------------------------------------
+# Homography-based planar pose (Zhang) — full 6-DoF tag-in-camera estimate
+# ---------------------------------------------------------------------------
+
+
+def homography_from_corners(corners, aruco_size):
+    """Exact DLT homography mapping tag-plane corners to observed (centered)
+    image corners.  (3, 3), with H[2,2] normalized to 1 by construction.
+
+    Solves the 8x8 linear system directly (4 exact correspondences).
+    """
+    corners = jnp.asarray(corners)
+    dtype = corners.dtype
+    src = ARUCO_DIRECTIONS.astype(dtype) * (0.5 * aruco_size)  # (4,2)
+
+    def rows(i):
+        x, y = src[i, 0], src[i, 1]
+        u, v = corners[i, 0], corners[i, 1]
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+        r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y])
+        r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y])
+        return jnp.stack([r1, r2]), jnp.stack([u, v])
+
+    ab = [rows(i) for i in range(4)]
+    a = jnp.concatenate([x[0] for x in ab], axis=0)  # (8, 8)
+    b = jnp.concatenate([x[1] for x in ab], axis=0)  # (8,)
+    h8 = jnp.linalg.solve(a, b)
+    h = jnp.concatenate([h8, jnp.ones((1,), dtype)]).reshape(3, 3)
+    return h
+
+
+def tag_pose_in_camera_homography(corners, focal, aruco_size):
+    """Full 6-DoF tag pose in the camera frame from the tag homography.
+
+    Returns (rot_aa (3,), t (3,)): p_cam = R(rot) p_tag + t.
+    """
+    h = homography_from_corners(corners, aruco_size)
+    focal = jnp.asarray(focal)
+    # M = K^{-1} H  with K = diag(f, f, 1), principal point at center
+    m = jnp.stack([h[0] / focal, h[1] / focal, h[2]], axis=0)
+    m1, m2, m3 = m[:, 0], m[:, 1], m[:, 2]
+    lam = 2.0 / (jnp.linalg.norm(m1) + jnp.linalg.norm(m2) + 1e-30)
+    # resolve the projective sign so the tag sits in front of the camera
+    sign = jnp.where(m3[2] * lam > 0, 1.0, -1.0).astype(m.dtype)
+    m1, m2, m3 = sign * m1, sign * m2, sign * m3
+    t = lam * m3
+    r1 = m1 / (jnp.linalg.norm(m1) + 1e-30)
+    r2 = m2 - r1 * jnp.dot(r1, m2)
+    r2 = r2 / (jnp.linalg.norm(r2) + 1e-30)
+    r3 = jnp.cross(r1, r2)
+    rot = jnp.stack([r1, r2, r3], axis=1)  # columns
+    return matrix_to_axis_angle(rot), t
+
+
+def init_ar_pose_homography(corners, camera, inv_cap_pose, aruco_size):
+    """Tag world pose from homography decomposition through a known capture.
+
+    p_world = R(-inv_rot)(R_cam p_tag + t_cam) - inv_t
+    """
+    camera = jnp.asarray(camera)
+    inv_cap_pose = jnp.asarray(inv_cap_pose)
+    rot_cam, t_cam = tag_pose_in_camera_homography(
+        corners, camera[0], aruco_size
+    )
+    cap_rotation = -inv_cap_pose[3:6]
+    ar_t = axis_angle_rotate(cap_rotation, t_cam) - inv_cap_pose[0:3]
+    ar_rot = compose_axis_angle(cap_rotation, rot_cam)
+    return jnp.concatenate([ar_t, ar_rot])
+
+
+def init_capture_pose_homography(corners, camera, ar_pose, aruco_size):
+    """Capture INVERSE pose from homography decomposition of a known tag.
+
+    R_inv = R_cam R_wt^T ;  t_inv = R(-inv_rot) t_cam - ar_t
+    """
+    camera = jnp.asarray(camera)
+    ar_pose = jnp.asarray(ar_pose)
+    rot_cam, t_cam = tag_pose_in_camera_homography(
+        corners, camera[0], aruco_size
+    )
+    inv_rot = compose_axis_angle(rot_cam, -ar_pose[3:6])
+    inv_t = axis_angle_rotate(-inv_rot, t_cam) - ar_pose[0:3]
+    return jnp.concatenate([inv_t, inv_rot])
+
+
+# ---------------------------------------------------------------------------
+# Candidate-selection seeding (frontal vs homography, pick lower residual)
+# ---------------------------------------------------------------------------
+
+
+def _rect_cost(camera, inv_cap_pose, tag_pose, corners, aruco_size):
+    from ar_slam_tpu.core.projection import block_residual
+
+    r = block_residual(camera, inv_cap_pose, tag_pose, corners, aruco_size)
+    c = jnp.sum(r * r)
+    return jnp.where(jnp.isfinite(c), c, jnp.inf)
+
+
+def seed_tag_pose(corners, camera, inv_cap_pose, aruco_size,
+                  mode: str = "hybrid"):
+    """Seed a tag's world pose from one observing capture."""
+    frontal = init_ar_pose(corners, camera, inv_cap_pose, aruco_size)
+    if mode == "frontal":
+        return frontal
+    homog = init_ar_pose_homography(corners, camera, inv_cap_pose, aruco_size)
+    homog = jnp.where(jnp.isfinite(homog), homog, 0.0)
+    c_f = _rect_cost(camera, inv_cap_pose, frontal, corners, aruco_size)
+    c_h = _rect_cost(camera, inv_cap_pose, homog, corners, aruco_size)
+    return jnp.where(c_h < c_f, homog, frontal)
+
+
+def seed_capture_pose(corners, camera, ar_pose, aruco_size,
+                      mode: str = "hybrid"):
+    """Seed a capture's inverse pose from one observed known tag."""
+    frontal = init_capture_pose(corners, camera, ar_pose, aruco_size)
+    if mode == "frontal":
+        return frontal
+    homog = init_capture_pose_homography(corners, camera, ar_pose, aruco_size)
+    homog = jnp.where(jnp.isfinite(homog), homog, 0.0)
+    c_f = _rect_cost(camera, frontal, ar_pose, corners, aruco_size)
+    c_h = _rect_cost(camera, homog, ar_pose, corners, aruco_size)
+    return jnp.where(c_h < c_f, homog, frontal)

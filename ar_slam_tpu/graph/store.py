@@ -77,6 +77,9 @@ class CameraState:
 
     params: np.ndarray = field(default_factory=lambda: np.array([3000.0, 0.0, 0.0]))
     size: tuple[int, int] | None = None  # (width, height)
+    # True once the focal is trusted (loaded from a checkpoint or
+    # self-calibrated) — prevents re-estimation on incremental extends.
+    focal_calibrated: bool = False
 
 
 class MapStore:

@@ -61,6 +61,7 @@ def load_yaml(store: MapStore, fn_or_stream) -> None:
             store.camera.size = (int(cam["width"]), int(cam["height"]))
         params = np.asarray(cam["params"], dtype=float)
         store.camera.params[: params.size] = params
+        store.camera.focal_calibrated = True
 
 
 def _flow(seq) -> str:

@@ -1,0 +1,329 @@
+"""Host-side solve drivers: batch BFS mapping and incremental extension.
+
+Replicates the reference's solve strategies on top of the jitted LM core:
+
+- ``solve`` ≙ ``ArSlamSolver::solve`` (ar_slam_util.cpp:744-866): pick the
+  capture with the most blocks, BFS the capture–tag graph, and after adding
+  each capture re-run full LM on the active subproblem.  Device-side state
+  (poses) stays resident between waves; each wave is ONE device call (seed
+  prologue + LM while_loop fused in a single jit).
+- ``solve_incremental`` ≙ ``ArSlamSolver::solveIncremental``
+  (ar_slam_util.cpp:629-742): drain the unsolved pool by repeated sweeps,
+  attaching any capture that shares an initialized tag.
+
+Shapes are padded to power-of-two buckets, so the wave jit compiles
+O(log n) times as the map grows.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ar_slam_tpu.core.seeding import seed_capture_pose, seed_tag_pose
+from ar_slam_tpu.graph.arrays import export_arrays, write_back
+from ar_slam_tpu.graph.store import MapStore
+from ar_slam_tpu.solve.lm import LMConfig, lm_solve
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit,
+         static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode"))
+def solve_wave(
+    camera,
+    cap_poses,
+    tag_poses,
+    cap_idx,
+    tag_idx,
+    corners,
+    block_mask,
+    cam_active,
+    cap_active,
+    tag_active,
+    seed_cap,
+    seed_block,
+    tag_init_blocks,
+    *,
+    aruco_size: float,
+    config: LMConfig,
+    assemble_fn=None,
+    seed_mode: str = "hybrid",
+):
+    """One solver wave: optional capture seeding + lazy tag init + full LM.
+
+    Args:
+      seed_cap: () int32 — capture index to (re)seed.
+      seed_block: () int32 — block to seed it from, or -1 to keep its pose
+        (the BFS root keeps whatever pose it has, ar_slam_util.cpp:803-807).
+      tag_init_blocks: (T,) int32 — per tag, the block index to initialize
+        its pose from (through the freshly seeded capture), or -1 to keep.
+    """
+
+    def seed_pose(cp):
+        blk_corners = corners[seed_block]
+        tag_pose = tag_poses[tag_idx[seed_block]]
+        pose = seed_capture_pose(blk_corners, camera, tag_pose, aruco_size,
+                                 mode=seed_mode)
+        return cp.at[seed_cap].set(pose)
+
+    cap_poses = jax.lax.cond(
+        seed_block >= 0, seed_pose, lambda cp: cp, cap_poses
+    )
+
+    def seed_tag(t, init_blk):
+        def do():
+            blk_corners = corners[init_blk]
+            cap_pose = cap_poses[cap_idx[init_blk]]
+            return seed_tag_pose(blk_corners, camera, cap_pose, aruco_size,
+                                 mode=seed_mode)
+
+        return jax.lax.cond(init_blk >= 0, do, lambda: tag_poses[t])
+
+    tag_poses = jax.vmap(seed_tag)(
+        jnp.arange(tag_poses.shape[0], dtype=jnp.int32), tag_init_blocks
+    )
+
+    return lm_solve(
+        camera, cap_poses, tag_poses, cap_idx, tag_idx, corners, block_mask,
+        cam_active, cap_active, tag_active,
+        aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
+    )
+
+
+def _maybe_calibrate_focal(store: MapStore, config) -> None:
+    """Self-calibrate the initial focal from tag homographies unless the
+    focal is already trusted (checkpoint restore / previous calibration) or
+    parity mode requests the reference's fixed init."""
+    if store.camera.focal_calibrated:
+        return
+    if config.camera.focal_init_mode != "homography":
+        return
+    from ar_slam_tpu.core.calib import estimate_focal
+
+    focal = estimate_focal(
+        (b.corners for b in store.blocks), config.aruco_size
+    )
+    if focal is not None and np.isfinite(focal) and focal > 10.0:
+        logger.info("self-calibrated initial focal: %.1f px", focal)
+        store.camera.params[0] = focal
+    store.camera.focal_calibrated = True
+
+
+def _lm_config(cfg) -> LMConfig:
+    return LMConfig(
+        max_iterations=cfg.max_iterations,
+        initial_lambda=cfg.initial_lambda,
+        function_tolerance=cfg.function_tolerance,
+        parameter_tolerance=cfg.parameter_tolerance,
+        jacobi_scaling=cfg.jacobi_scaling,
+    )
+
+
+class _WaveRunner:
+    """Keeps device-resident pose state across waves over one padded export."""
+
+    def __init__(self, store: MapStore, solver_cfg, aruco_size, dtype,
+                 assemble_fn=None):
+        self.store = store
+        self.aruco_size = aruco_size
+        self.config = _lm_config(solver_cfg)
+        self.seed_mode = getattr(solver_cfg, "seed_mode", "hybrid")
+        self.assemble_fn = assemble_fn
+        arrs = export_arrays(store, dtype=dtype)
+        self.arrs = arrs
+        self.camera = jnp.asarray(arrs.camera)
+        self.cap_poses = jnp.asarray(arrs.cap_poses)
+        self.tag_poses = jnp.asarray(arrs.tag_poses)
+        self.cap_idx = jnp.asarray(arrs.cap_idx)
+        self.tag_idx = jnp.asarray(arrs.tag_idx)
+        self.corners = jnp.asarray(arrs.corners)
+        self.block_mask_all = arrs.block_mask  # numpy; per-wave subset sent
+        self.c_pad = arrs.cap_poses.shape[0]
+        self.t_pad = arrs.tag_poses.shape[0]
+        # host-side solver state
+        self.active_caps: set[int] = set()
+        self.active_blocks = np.zeros_like(arrs.block_mask)
+        self.tag_initialized = np.zeros(self.t_pad, dtype=bool)
+        self.active_tags = np.zeros(self.t_pad, dtype=bool)
+        # block row lookup: store block index -> padded row (identity here
+        # because export keeps order)
+        self.last_info = None
+
+    def run_wave(self, cap_index: int, seed_block: int | None):
+        """Add one capture to the active problem and re-optimize."""
+        store = self.store
+        cap = store.captures[cap_index]
+        self.active_caps.add(cap_index)
+
+        tag_init_blocks = np.full(self.t_pad, -1, dtype=np.int32)
+        for bh in cap.blocks:
+            block = store.blocks[bh]
+            self.active_blocks[bh] = True
+            t = block.tag_idx
+            self.active_tags[t] = True
+            if not self.tag_initialized[t]:
+                self.tag_initialized[t] = True
+                tag_init_blocks[t] = bh
+
+        cap_active = np.zeros(self.c_pad, dtype=bool)
+        cap_active[list(self.active_caps)] = True
+
+        # NOTE: active_blocks / active_tags are mutated in place across
+        # waves while dispatch is async; jnp.asarray on CPU may alias the
+        # host buffer zero-copy, so hand the device an immutable copy.
+        (self.camera, self.cap_poses, self.tag_poses, info) = solve_wave(
+            self.camera, self.cap_poses, self.tag_poses,
+            self.cap_idx, self.tag_idx, self.corners,
+            jnp.asarray(self.active_blocks.copy()),
+            jnp.asarray(True),
+            jnp.asarray(cap_active),
+            jnp.asarray(self.active_tags.copy()),
+            jnp.asarray(cap_index, jnp.int32),
+            jnp.asarray(-1 if seed_block is None else seed_block, jnp.int32),
+            jnp.asarray(tag_init_blocks),
+            aruco_size=self.aruco_size,
+            config=self.config,
+            assemble_fn=self.assemble_fn,
+            seed_mode=self.seed_mode,
+        )
+        self.last_info = info
+        return info
+
+    def finish(self):
+        write_back(self.store, np.asarray(self.camera),
+                   np.asarray(self.cap_poses), np.asarray(self.tag_poses))
+        if self.last_info is not None:
+            logger.info(
+                "solve done: cost=%s iters(last wave)=%s",
+                float(self.last_info["cost"]),
+                int(self.last_info["iterations"]),
+            )
+
+
+def solve(store: MapStore, config=None, dtype=None, assemble_fn=None) -> dict:
+    """Batch BFS solve (≙ ArSlamSolver::solve).
+
+    Returns a summary dict (final cost, waves, rmse).
+    """
+    from ar_slam_tpu.config import ArSlamConfig
+
+    config = config or ArSlamConfig()
+    dtype = dtype or _default_dtype(config)
+    if not store.captures:
+        return {"waves": 0}
+    _maybe_calibrate_focal(store, config)
+
+    # reset init_block marks so re-solve behaves like a fresh BFS
+    for cap in store.captures:
+        cap.init_block = None
+
+    seed = store.capture_with_most_blocks()
+    order = store.connected_component(seed)
+    if len(order) < len(store.captures):
+        logger.warning(
+            "%d captures are disconnected from the seed component and stay "
+            "unsolved", len(store.captures) - len(order),
+        )
+
+    runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
+                         assemble_fn)
+    for cap_index in order:
+        seed_block = None
+        if cap_index != seed:
+            seed_block = store.captures[cap_index].init_block
+        runner.run_wave(cap_index, seed_block)
+        store.unsolved_captures.discard(cap_index)
+    runner.finish()
+
+    info = runner.last_info
+    return {
+        "waves": len(order),
+        "cost": float(info["cost"]),
+        "rmse": rmse_from_cost(float(info["cost"]), int(np.sum(runner.active_blocks))),
+    }
+
+
+def solve_incremental(store: MapStore, config=None, dtype=None,
+                      assemble_fn=None, _runner_cache={}) -> dict:
+    """Incremental solve (≙ ArSlamSolver::solveIncremental): repeatedly
+    attach unsolved captures that share an initialized tag with the solved
+    set; each attachment re-optimizes the whole active problem."""
+    from ar_slam_tpu.config import ArSlamConfig
+
+    config = config or ArSlamConfig()
+    dtype = dtype or _default_dtype(config)
+    if not store.captures:
+        return {"waves": 0}
+    _maybe_calibrate_focal(store, config)
+
+    runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
+                         assemble_fn)
+    # replay already-solved captures into the runner's active set without
+    # re-optimizing (their poses came from the export)
+    solved = [c.index for c in store.captures
+              if c.index not in store.unsolved_captures]
+    for idx in solved:
+        runner.active_caps.add(idx)
+        for bh in store.captures[idx].blocks:
+            runner.active_blocks[bh] = True
+            t = store.blocks[bh].tag_idx
+            runner.active_tags[t] = True
+            runner.tag_initialized[t] = True
+
+    waves = 0
+    # if nothing is solved yet, solve an arbitrary first capture
+    if len(store.unsolved_captures) == len(store.captures):
+        first = min(store.unsolved_captures)
+        logger.info("Solving initial capture %d", first)
+        store.unsolved_captures.discard(first)
+        runner.run_wave(first, None)
+        waves += 1
+
+    repeat = True
+    while repeat:
+        repeat = False
+        for cap_index in sorted(store.unsolved_captures):
+            cap = store.captures[cap_index]
+            connect = None
+            for bh in cap.blocks:
+                t = store.blocks[bh].tag_idx
+                if runner.tag_initialized[t]:
+                    connect = bh
+                    break
+            if connect is not None:
+                logger.info(
+                    "Capture %s can be solved through %s",
+                    cap.uid, store.arucos[store.blocks[connect].tag_idx].id,
+                )
+                store.unsolved_captures.discard(cap_index)
+                runner.run_wave(cap_index, connect)
+                waves += 1
+                repeat = True
+                break
+    runner.finish()
+    out = {"waves": waves, "unsolved": len(store.unsolved_captures)}
+    if runner.last_info is not None:
+        out["cost"] = float(runner.last_info["cost"])
+        out["rmse"] = rmse_from_cost(
+            out["cost"], int(np.sum(runner.active_blocks))
+        )
+    return out
+
+
+def rmse_from_cost(cost: float, n_blocks: int) -> float:
+    """Reprojection RMSE in pixels from 0.5*sum-sq cost over 8-residual
+    blocks."""
+    if n_blocks == 0:
+        return 0.0
+    return float(np.sqrt(2.0 * cost / (8 * n_blocks)))
+
+
+def _default_dtype(config):
+    import numpy as np
+
+    return {"float32": np.float32, "float64": np.float64}[config.solver.dtype]

@@ -1,0 +1,183 @@
+"""Levenberg–Marquardt trust-region driver (one jit, lax.while_loop).
+
+The TPU-native replacement for ``ArSlamSolver::optimize`` / ceres::Solve
+(ar_slam_util.cpp:1001-1018): the whole LM iteration — linearize, Schur
+solve, step-quality gating, damping update — runs as a single compiled
+device program with static shapes, so one optimize call is one host↔device
+round trip regardless of iteration count.
+
+Damping follows ceres' LM strategy: accept when the step-quality ratio
+rho = actual_decrease / model_decrease exceeds min_relative_decrease;
+on accept lam *= max(1/3, 1 - (2 rho - 1)^3), nu resets to 2; on reject
+lam *= nu, nu doubles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ar_slam_tpu.solve.residuals import linearize, residuals_only
+from ar_slam_tpu.solve.schur import assemble, schur_solve
+
+
+class LMConfig(NamedTuple):
+    max_iterations: int = 50
+    initial_lambda: float = 1e-4
+    min_relative_decrease: float = 1e-3
+    function_tolerance: float = 1e-6
+    parameter_tolerance: float = 1e-8
+    jacobi_scaling: bool = True
+    max_lambda: float = 1e32
+    min_lambda: float = 1e-16
+    # terminate when damping grows past this (every step rejected — the
+    # trust region has collapsed; ceres' "trust region radius too small")
+    stall_lambda: float = 1e12
+
+
+class LMState(NamedTuple):
+    camera: jnp.ndarray  # (3,)
+    cap_poses: jnp.ndarray  # (C, 6)
+    tag_poses: jnp.ndarray  # (T, 6)
+    lam: jnp.ndarray  # ()
+    nu: jnp.ndarray  # ()
+    cost: jnp.ndarray  # ()
+    iteration: jnp.ndarray  # () int
+    converged: jnp.ndarray  # () bool
+
+
+def _cost_of(r):
+    return 0.5 * jnp.sum(r * r)
+
+
+@partial(jax.jit, static_argnames=("aruco_size", "config", "assemble_fn"))
+def lm_solve(
+    camera,
+    cap_poses,
+    tag_poses,
+    cap_idx,
+    tag_idx,
+    corners,
+    block_mask,
+    cam_active,
+    cap_active,
+    tag_active,
+    *,
+    aruco_size: float,
+    config: LMConfig = LMConfig(),
+    assemble_fn=None,
+):
+    """Run LM to convergence on the (masked, padded) problem.
+
+    ``assemble_fn`` defaults to the single-device assemble; the distributed
+    solver passes a shard_map-wrapped version that psum-reduces the normal
+    equations over the block shards (same signature).
+
+    Returns (camera, cap_poses, tag_poses, info) with info a dict of
+    final cost / iterations / lambda.
+    """
+    if assemble_fn is None:
+        assemble_fn = assemble
+    n_caps = cap_poses.shape[0]
+    n_tags = tag_poses.shape[0]
+    dtype = cap_poses.dtype
+
+    def compute_cost(camera, cap_poses, tag_poses):
+        r = residuals_only(
+            camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+            block_mask, aruco_size,
+        )
+        return _cost_of(r)
+
+    def body(state: LMState) -> LMState:
+        r, jc, jp, jt = linearize(
+            state.camera, state.cap_poses, state.tag_poses,
+            cap_idx, tag_idx, corners, block_mask, aruco_size,
+        )
+        eqs = assemble_fn(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
+        d_cam, d_cap, d_tag = schur_solve(
+            eqs, state.lam, cam_active, cap_active, tag_active,
+            jacobi_scaling=config.jacobi_scaling,
+        )
+
+        new_camera = state.camera + d_cam
+        new_caps = state.cap_poses + d_cap
+        new_tags = state.tag_poses + d_tag
+        new_cost = compute_cost(new_camera, new_caps, new_tags)
+
+        # model decrease: -g.d - 0.5 |J d|^2  via one JVP over blocks
+        jd = (
+            jnp.einsum("brc,c->br", jc, d_cam)
+            + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx])
+            + jnp.einsum("brp,bp->br", jt, d_tag[tag_idx])
+        )
+        g_dot_d = (
+            jnp.einsum("brc,br,c->", jc, r, d_cam)
+            + jnp.einsum("brp,br,bp->", jp, r, d_cap[cap_idx])
+            + jnp.einsum("brp,br,bp->", jt, r, d_tag[tag_idx])
+        )
+        model_decrease = -g_dot_d - 0.5 * jnp.sum(jd * jd)
+        model_decrease = jnp.maximum(model_decrease, 1e-30)
+        rho = (state.cost - new_cost) / model_decrease
+
+        accept = rho > config.min_relative_decrease
+
+        lam_acc = state.lam * jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        lam_acc = jnp.clip(lam_acc, config.min_lambda, config.max_lambda)
+        lam_rej = jnp.minimum(state.lam * state.nu, config.max_lambda)
+
+        # convergence checks (evaluated on accepted steps, ceres-style)
+        cost_change = jnp.abs(state.cost - new_cost)
+        f_conv = cost_change <= config.function_tolerance * state.cost
+        step_norm = jnp.sqrt(
+            jnp.sum(d_cam**2) + jnp.sum(d_cap**2) + jnp.sum(d_tag**2)
+        )
+        x_norm = jnp.sqrt(
+            jnp.sum(state.camera**2)
+            + jnp.sum(state.cap_poses**2)
+            + jnp.sum(state.tag_poses**2)
+        )
+        p_conv = step_norm <= config.parameter_tolerance * (
+            x_norm + config.parameter_tolerance
+        )
+        stalled = ~accept & (state.lam >= config.stall_lambda)
+        converged = (accept & (f_conv | p_conv)) | stalled
+
+        return LMState(
+            camera=jnp.where(accept, new_camera, state.camera),
+            cap_poses=jnp.where(accept, new_caps, state.cap_poses),
+            tag_poses=jnp.where(accept, new_tags, state.tag_poses),
+            lam=jnp.where(accept, lam_acc, lam_rej),
+            nu=jnp.where(accept, jnp.asarray(2.0, dtype), state.nu * 2.0),
+            cost=jnp.where(accept, new_cost, state.cost),
+            iteration=state.iteration + 1,
+            converged=converged,
+        )
+
+    def cond(state: LMState):
+        return (state.iteration < config.max_iterations) & ~state.converged
+
+    init = LMState(
+        camera=camera.astype(dtype),
+        cap_poses=cap_poses,
+        tag_poses=tag_poses,
+        lam=jnp.asarray(config.initial_lambda, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        cost=compute_cost(camera, cap_poses, tag_poses),
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    info = {
+        "cost": final.cost,
+        "iterations": final.iteration,
+        "lambda": final.lam,
+        "converged": final.converged,
+        "initial_cost": init.cost,
+    }
+    return final.camera, final.cap_poses, final.tag_poses, info

@@ -1,0 +1,94 @@
+"""Synthetic AR-tag map generator for tests and benchmarks.
+
+Builds the BASELINE.json config #5 workload ("500 tags / 200 captures") at
+any scale: tags on a planar grid facing +z, cameras above the plane looking
+down with jittered poses, observations created with the engine's own
+projection model (so ground truth is exactly representable), optional pixel
+noise, and FOV-based visibility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ar_slam_tpu.graph.store import MapStore
+
+
+def _project_np(camera, inv_cap_pose, tag_pose, aruco_size):
+    """NumPy mirror of core.projection.project_corners (kept tiny; used only
+    to generate synthetic data without device round trips)."""
+    from scipy.spatial.transform import Rotation
+
+    dirs = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=float)
+    corners = np.concatenate([0.5 * aruco_size * dirs, np.zeros((4, 1))], axis=1)
+    p_w = Rotation.from_rotvec(tag_pose[3:6]).apply(corners) + tag_pose[0:3]
+    p_c = Rotation.from_rotvec(inv_cap_pose[3:6]).apply(p_w + inv_cap_pose[0:3])
+    if np.any(p_c[:, 2] <= 0.1):
+        return None
+    return camera[0] * p_c[:, 0:2] / p_c[:, 2:3]
+
+
+def make_synthetic_map(
+    n_tags: int = 24,
+    n_caps: int = 12,
+    focal: float = 3000.0,
+    image_size: tuple[int, int] = (4000, 3000),
+    aruco_size: float = 0.0635,
+    tag_spacing: float = 0.25,
+    height: float = 1.8,
+    noise_px: float = 0.0,
+    seed: int = 0,
+    min_tags_per_cap: int = 2,
+) -> tuple[MapStore, dict]:
+    """Generate a MapStore with observations and return (store, ground_truth).
+
+    ground_truth holds the exact poses used for generation:
+      {"cap_poses": (n_caps, 6) inverse poses, "tag_poses": (n_tags, 6),
+       "camera": (3,)}
+    """
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_tags)))
+
+    tag_poses = np.zeros((n_tags, 6))
+    for t in range(n_tags):
+        gx, gy = t % side, t // side
+        tag_poses[t, 0] = (gx - (side - 1) / 2) * tag_spacing
+        tag_poses[t, 1] = (gy - (side - 1) / 2) * tag_spacing
+        tag_poses[t, 2] = 0.0
+        tag_poses[t, 3:5] = rng.normal(scale=0.05, size=2)  # slight tilt
+        tag_poses[t, 5] = rng.normal(scale=0.3)  # in-plane rotation
+
+    extent = side * tag_spacing
+    cap_poses = np.zeros((n_caps, 6))
+    for c in range(n_caps):
+        # camera positions sweep over the grid so neighbouring captures
+        # overlap (connected graph)
+        frac = c / max(n_caps - 1, 1)
+        cx = (frac - 0.5) * extent * 0.8 + rng.normal(scale=0.05)
+        cy = rng.normal(scale=0.2)
+        cz = height + rng.normal(scale=0.1)
+        # looking straight down: R = Rx(pi) + jitter
+        rot = np.array([np.pi, 0.0, 0.0]) + rng.normal(scale=0.08, size=3)
+        cap_poses[c, 0:3] = -np.array([cx, cy, cz])  # t_inv = -position
+        cap_poses[c, 3:6] = rot  # R_inv ~ Rx(pi): world -> camera
+
+    camera = np.array([focal, 0.0, 0.0])
+    store = MapStore(initial_focal=focal)
+    store.camera.size = image_size
+    half_w, half_h = image_size[0] / 2, image_size[1] / 2
+
+    for c in range(n_caps):
+        dets = []
+        for t in range(n_tags):
+            uv = _project_np(camera, cap_poses[c], tag_poses[t], aruco_size)
+            if uv is None:
+                continue
+            if np.any(np.abs(uv[:, 0]) > half_w) or np.any(np.abs(uv[:, 1]) > half_h):
+                continue
+            obs = uv + rng.normal(scale=noise_px, size=uv.shape) if noise_px else uv
+            dets.append((f"aruco_4X4_50_{t}", obs))
+        if len(dets) >= min_tags_per_cap:
+            store.add_detections(f"cap_{c}", dets, image_size)
+
+    truth = {"cap_poses": cap_poses, "tag_poses": tag_poses, "camera": camera}
+    return store, truth

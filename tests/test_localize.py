@@ -1,0 +1,96 @@
+"""Localization tests (≙ ar_loc flow, ar_slam_util.cpp:888-979): build the
+demo map from img1-3, localize img4 against it with frozen map/camera."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from ar_slam_tpu.config import ArSlamConfig
+from ar_slam_tpu.graph import MapStore
+from ar_slam_tpu.solve import localize_many, solve_batch
+from ar_slam_tpu.utils.synthetic import make_synthetic_map
+
+from tests.test_lm import load_demo_store
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def add_fixture_capture(store, uid, dicts=("4X4_50",)):
+    with open(os.path.join(FIXTURES, "demo_detections.yaml")) as f:
+        data = yaml.safe_load(f)
+    for cap in data["captures"]:
+        if cap["uid"] != uid:
+            continue
+        dets = []
+        for d in dicts:
+            for det in cap["detections"][d]:
+                dets.append((det["id"], np.array(det["corners"]).reshape(4, 2)))
+        return store.add_detections(
+            cap["uid"], dets, (cap["width"], cap["height"]), cap["img_fn"]
+        )
+    raise KeyError(uid)
+
+
+def test_localize_img4_against_demo_map():
+    store = load_demo_store()  # img1-3
+    solve_batch(store, ArSlamConfig())
+    first_loc = store.next_capture_index
+    cam_before = store.camera.params.copy()
+    tags_before = [t.pose.copy() for t in store.arucos]
+
+    add_fixture_capture(store, "cap_3")  # img4: 3 visible tags
+    result = localize_many(store, first_loc)
+
+    assert result["localized"] == 1
+    assert result["status"]["cap_3"] == "localized"
+    # pose-only: map must be untouched
+    np.testing.assert_array_equal(store.camera.params, cam_before)
+    for tag, before in zip(store.arucos, tags_before):
+        np.testing.assert_array_equal(tag.pose, before)
+    # img4 shares real tags; RMSE should be small (sub-2px at the optimum)
+    assert result["rmse"] < 2.0, result
+    # and the pose is behind the tags (negative-z camera position above map)
+    pose = store.captures[first_loc].inv_pose
+    assert np.linalg.norm(pose[0:3]) > 0.1
+
+
+def test_localize_disconnected_capture_skipped():
+    store = load_demo_store()
+    solve_batch(store, ArSlamConfig())
+    first_loc = store.next_capture_index
+    # a capture observing only unknown tags
+    store.add_detections(
+        "stranger",
+        [("aruco_4X4_50_49", np.array([[-10, -10], [10, -10], [10, 10], [-10, 10]], float))],
+        store.camera.size,
+    )
+    result = localize_many(store, first_loc)
+    assert result["localized"] == 0
+    assert result["status"]["stranger"] == "disconnected"
+
+
+def test_localize_many_synthetic_batch():
+    """Many queries in one vmapped device call recover ground-truth poses."""
+    store, truth = make_synthetic_map(n_tags=12, n_caps=10, seed=8)
+    # rebuild as: map = captures 0-5 solved, queries = the rest localized
+    map_store = MapStore(initial_focal=3000.0)
+    map_store.camera.size = store.camera.size
+    query_caps = []
+    for cap in store.captures:
+        dets = [
+            (store.arucos[store.blocks[bh].tag_idx].id, store.blocks[bh].corners)
+            for bh in cap.blocks
+        ]
+        if int(cap.uid.split("_")[1]) < 6:
+            map_store.add_detections(cap.uid, dets, store.camera.size)
+        else:
+            query_caps.append((cap.uid, dets))
+    solve_batch(map_store, ArSlamConfig())
+    first_loc = map_store.next_capture_index
+    for uid, dets in query_caps:
+        map_store.add_detections(uid, dets, map_store.camera.size)
+    result = localize_many(map_store, first_loc)
+    assert result["localized"] == len(query_caps)
+    assert result["rmse"] < 0.5, result
