@@ -10,6 +10,15 @@ Damping follows ceres' LM strategy: accept when the step-quality ratio
 rho = actual_decrease / model_decrease exceeds min_relative_decrease;
 on accept lam *= max(1/3, 1 - (2 rho - 1)^3), nu resets to 2; on reject
 lam *= nu, nu doubles.
+
+The loop body is written against two block-parallel hooks so the same driver
+serves single-chip and distributed execution (``ar_slam_tpu.parallel``
+supplies shard_map-wrapped hooks whose reductions psum over the block
+shards):
+
+  lin_fn(camera, cap_poses, tag_poses) -> (NormalEqs, cost, aux)
+  quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag)
+      -> (new_cost, g_dot_d, jd_sq)
 """
 
 from __future__ import annotations
@@ -49,55 +58,44 @@ class LMState(NamedTuple):
     converged: jnp.ndarray  # () bool
 
 
-def _cost_of(r):
-    return 0.5 * jnp.sum(r * r)
+def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
+                     n_caps, n_tags):
+    """Single-device block-parallel hooks over a padded block table."""
 
-
-@partial(jax.jit, static_argnames=("aruco_size", "config", "assemble_fn"))
-def lm_solve(
-    camera,
-    cap_poses,
-    tag_poses,
-    cap_idx,
-    tag_idx,
-    corners,
-    block_mask,
-    cam_active,
-    cap_active,
-    tag_active,
-    *,
-    aruco_size: float,
-    config: LMConfig = LMConfig(),
-    assemble_fn=None,
-):
-    """Run LM to convergence on the (masked, padded) problem.
-
-    ``assemble_fn`` defaults to the single-device assemble; the distributed
-    solver passes a shard_map-wrapped version that psum-reduces the normal
-    equations over the block shards (same signature).
-
-    Returns (camera, cap_poses, tag_poses, info) with info a dict of
-    final cost / iterations / lambda.
-    """
-    if assemble_fn is None:
-        assemble_fn = assemble
-    n_caps = cap_poses.shape[0]
-    n_tags = tag_poses.shape[0]
-    dtype = cap_poses.dtype
-
-    def compute_cost(camera, cap_poses, tag_poses):
-        r = residuals_only(
+    def lin_fn(camera, cap_poses, tag_poses):
+        r, jc, jp, jt = linearize(
             camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, aruco_size,
         )
-        return _cost_of(r)
+        eqs = assemble(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
+        cost = 0.5 * jnp.sum(r * r)
+        return eqs, cost, (r, jc, jp, jt)
+
+    def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
+        r, jc, jp, jt = aux
+        r_new = residuals_only(
+            new_camera, new_caps, new_tags, cap_idx, tag_idx, corners,
+            block_mask, aruco_size,
+        )
+        new_cost = 0.5 * jnp.sum(r_new * r_new)
+        jd = (
+            jnp.einsum("brc,c->br", jc, d_cam)
+            + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx])
+            + jnp.einsum("brp,bp->br", jt, d_tag[tag_idx])
+        )
+        g_dot_d = jnp.sum(jd * r)
+        return new_cost, g_dot_d, jnp.sum(jd * jd)
+
+    return lin_fn, quality_fn
+
+
+def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
+            lin_fn, quality_fn, config: LMConfig):
+    """Generic LM loop over block-parallel hooks.  Runs inside jit."""
+    dtype = cap_poses.dtype
 
     def body(state: LMState) -> LMState:
-        r, jc, jp, jt = linearize(
-            state.camera, state.cap_poses, state.tag_poses,
-            cap_idx, tag_idx, corners, block_mask, aruco_size,
-        )
-        eqs = assemble_fn(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
+        eqs, _, aux = lin_fn(state.camera, state.cap_poses, state.tag_poses)
         d_cam, d_cap, d_tag = schur_solve(
             eqs, state.lam, cam_active, cap_active, tag_active,
             jacobi_scaling=config.jacobi_scaling,
@@ -106,23 +104,12 @@ def lm_solve(
         new_camera = state.camera + d_cam
         new_caps = state.cap_poses + d_cap
         new_tags = state.tag_poses + d_tag
-        new_cost = compute_cost(new_camera, new_caps, new_tags)
+        new_cost, g_dot_d, jd_sq = quality_fn(
+            aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
+        )
 
-        # model decrease: -g.d - 0.5 |J d|^2  via one JVP over blocks
-        jd = (
-            jnp.einsum("brc,c->br", jc, d_cam)
-            + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx])
-            + jnp.einsum("brp,bp->br", jt, d_tag[tag_idx])
-        )
-        g_dot_d = (
-            jnp.einsum("brc,br,c->", jc, r, d_cam)
-            + jnp.einsum("brp,br,bp->", jp, r, d_cap[cap_idx])
-            + jnp.einsum("brp,br,bp->", jt, r, d_tag[tag_idx])
-        )
-        model_decrease = -g_dot_d - 0.5 * jnp.sum(jd * jd)
-        model_decrease = jnp.maximum(model_decrease, 1e-30)
+        model_decrease = jnp.maximum(-g_dot_d - 0.5 * jd_sq, 1e-30)
         rho = (state.cost - new_cost) / model_decrease
-
         accept = rho > config.min_relative_decrease
 
         lam_acc = state.lam * jnp.maximum(
@@ -131,7 +118,6 @@ def lm_solve(
         lam_acc = jnp.clip(lam_acc, config.min_lambda, config.max_lambda)
         lam_rej = jnp.minimum(state.lam * state.nu, config.max_lambda)
 
-        # convergence checks (evaluated on accepted steps, ceres-style)
         cost_change = jnp.abs(state.cost - new_cost)
         f_conv = cost_change <= config.function_tolerance * state.cost
         step_norm = jnp.sqrt(
@@ -162,13 +148,14 @@ def lm_solve(
     def cond(state: LMState):
         return (state.iteration < config.max_iterations) & ~state.converged
 
+    _, cost0, _ = lin_fn(camera, cap_poses, tag_poses)
     init = LMState(
         camera=camera.astype(dtype),
         cap_poses=cap_poses,
         tag_poses=tag_poses,
         lam=jnp.asarray(config.initial_lambda, dtype),
         nu=jnp.asarray(2.0, dtype),
-        cost=compute_cost(camera, cap_poses, tag_poses),
+        cost=cost0,
         iteration=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
     )
@@ -181,3 +168,44 @@ def lm_solve(
         "initial_cost": init.cost,
     }
     return final.camera, final.cap_poses, final.tag_poses, info
+
+
+@partial(jax.jit, static_argnames=("aruco_size", "config", "assemble_fn"))
+def lm_solve(
+    camera,
+    cap_poses,
+    tag_poses,
+    cap_idx,
+    tag_idx,
+    corners,
+    block_mask,
+    cam_active,
+    cap_active,
+    tag_active,
+    *,
+    aruco_size: float,
+    config: LMConfig = LMConfig(),
+    assemble_fn=None,
+):
+    """Run LM to convergence on the (masked, padded) problem.
+
+    ``assemble_fn`` optionally overrides normal-equation assembly (the
+    distributed solver passes a psum-reducing version; see
+    ar_slam_tpu.parallel.dist_lm which instead wraps the full hooks).
+    """
+    n_caps = cap_poses.shape[0]
+    n_tags = tag_poses.shape[0]
+    lin_fn, quality_fn = make_block_hooks(
+        cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps, n_tags
+    )
+    if assemble_fn is not None:
+        base_lin = lin_fn
+
+        def lin_fn(camera, cap_poses, tag_poses):  # noqa: F811
+            _, cost, aux = base_lin(camera, cap_poses, tag_poses)
+            r, jc, jp, jt = aux
+            eqs = assemble_fn(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
+            return eqs, cost, aux
+
+    return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
+                   tag_active, lin_fn, quality_fn, config)

