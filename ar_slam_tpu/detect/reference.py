@@ -74,10 +74,13 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
         return pts.astype(float)
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    def cross2(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
     def half(iterable):
         out = []
         for p in iterable:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2 and cross2(out[-2], out[-1], p) <= 0:
                 out.pop()
             out.append(p)
         return out
@@ -99,7 +102,9 @@ def decimate_to_quad(hull: np.ndarray) -> np.ndarray | None:
         best_i, best_loss = 0, None
         for i in range(n):
             a, b, c = pts[(i - 1) % n], pts[i], pts[(i + 1) % n]
-            loss = abs(np.cross(b - a, c - a)) * 0.5
+            loss = abs(
+                (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            ) * 0.5
             if best_loss is None or loss < best_loss:
                 best_i, best_loss = i, loss
         pts.pop(best_i)
@@ -138,13 +143,16 @@ def homography_unit_square(quad: np.ndarray) -> np.ndarray:
     return np.concatenate([h8, [1.0]]).reshape(3, 3)
 
 
-def sample_bits(binary: np.ndarray, quad: np.ndarray, marker_size: int,
-                border_bits: int = 1, sub: int = 3):
-    """Sample the (s + 2b)² cell grid by majority vote of sub×sub points per
-    cell on the thresholded image.  Returns (grid, border_ok)."""
+def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
+                border_bits: int = 1, sub: int = 3,
+                min_otsu_std: float = 5.0):
+    """Sample the (s + 2b)² cell grid from the GRAY image: warp cell sample
+    points through the quad homography, binarize with a per-quad Otsu
+    threshold (like cv::aruco's perspective-removal + Otsu), majority-vote
+    per cell.  Returns (bits, ok); low-contrast patches are rejected
+    (≙ minOtsuStdDev)."""
     n = marker_size + 2 * border_bits
     hmat = homography_unit_square(quad)
-    # cell-center offsets in unit-square coords
     offs = (np.arange(sub) + 0.5) / sub
     cell = np.arange(n)
     u = (cell[:, None] + offs[None, :]).reshape(-1) / n  # (n*sub,)
@@ -152,12 +160,15 @@ def sample_bits(binary: np.ndarray, quad: np.ndarray, marker_size: int,
     ones = np.ones_like(uu)
     pts = np.stack([uu, vv, ones], axis=-1) @ hmat.T
     xy = pts[..., :2] / pts[..., 2:3]
-    h, w = binary.shape
+    h, w = gray.shape
     xi = np.clip(np.round(xy[..., 0]).astype(int), 0, w - 1)
     yi = np.clip(np.round(xy[..., 1]).astype(int), 0, h - 1)
-    samples = binary[yi, xi].astype(np.float32)
-    # reduce sub×sub per cell: samples is (n*sub, n*sub) with v rows, u cols
-    cells = samples.reshape(n, sub, n, sub).mean(axis=(1, 3))
+    samples = gray[yi, xi].astype(np.float32)
+    if samples.std() < min_otsu_std:
+        return None, False
+    thresh = otsu_threshold(samples)
+    dark = samples < thresh
+    cells = dark.reshape(n, sub, n, sub).mean(axis=(1, 3))
     grid_dark = cells > 0.5  # True = dark
     b = border_bits
     border = np.concatenate([
@@ -168,6 +179,26 @@ def sample_bits(binary: np.ndarray, quad: np.ndarray, marker_size: int,
     inner = grid_dark[b:-b, b:-b]
     bits = (~inner).astype(np.uint8)  # white = 1 (canonical convention)
     return bits, border_ok
+
+
+def otsu_threshold(values: np.ndarray) -> float:
+    """Otsu's threshold over a sample array (256-bin histogram)."""
+    v = values.reshape(-1)
+    lo, hi = float(v.min()), float(v.max())
+    if hi <= lo:
+        return lo
+    hist, edges = np.histogram(v, bins=256, range=(lo, hi))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    w0 = np.cumsum(hist)
+    w1 = w0[-1] - w0
+    m0 = np.cumsum(hist * centers)
+    mt = m0[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = m0 / w0
+        mu1 = (mt - m0) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between = np.nan_to_num(between)
+    return float(centers[int(np.argmax(between))])
 
 
 def refine_corners(gray: np.ndarray, quad: np.ndarray, win: int = 5,
@@ -259,8 +290,12 @@ def detect_markers(
             hull_area = polygon_area(hull)
             if hull_area <= 0 or polygon_area(quad) < 0.6 * hull_area:
                 continue
-            # fill check: component fills the quad (vs L-shapes etc.)
-            if len(pts) < 0.5 * polygon_area(quad):
+            # the component must at least trace its hull boundary (large
+            # markers threshold as hollow rings, so do NOT require fill)
+            hull_perim = np.sum(
+                np.linalg.norm(hull - np.roll(hull, -1, axis=0), axis=1)
+            )
+            if len(pts) < 0.5 * hull_perim:
                 continue
             quad = order_clockwise_from_topleft(quad)
             perimeter = np.sum(
@@ -275,7 +310,7 @@ def detect_markers(
             quad_s = expand_quad(quad, 0.5)
             for d in dicts:
                 bits, border_ok = sample_bits(
-                    binary, quad_s, d.marker_size, border_bits
+                    gray, quad_s, d.marker_size, border_bits
                 )
                 if not border_ok:
                     continue
@@ -283,7 +318,11 @@ def detect_markers(
                 marker_id, rot = d.identify(bits, mh)
                 if marker_id < 0:
                     continue
-                corners = np.roll(quad_s, -rot, axis=0)
+                # identify() found observed == rot90(canonical, rot); the
+                # canonical top-left then sits at sampled corner index
+                # (4 - rot) % 4, i.e. forward-roll by rot (verified against
+                # cv::aruco corner order on the demo images)
+                corners = np.roll(quad_s, rot, axis=0)
                 if refine:
                     corners = refine_corners(gray, corners)
                 center = corners.mean(axis=0)
