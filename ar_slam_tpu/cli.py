@@ -1,0 +1,269 @@
+"""``arslam`` command-line interface.
+
+Subcommands mirror the reference CLIs (SURVEY.md §2.1):
+
+- ``arslam map [map.yaml ...] img...``      ≙ ar_slam_cli (batch mapping;
+  modes: images only / re-solve saved map / map + new images,
+  ar_slam_cli.cpp:40-54).  Always writes map.yaml (cwd by default).
+- ``arslam localize map.yaml [inputs...]``  ≙ ar_loc; writes localize.yaml.
+- ``arslam gen``                            ≙ ar_gen tag sheets.
+- ``arslam detect img...``                  detection only, prints JSON.
+- ``arslam serve``                          incremental mapping loop fed by
+  a watched directory or stdin filenames (≙ the component pipeline +
+  load_images service).
+- ``arslam replay log.jsonl``               rebuild a map from an event log
+  (≙ bag replay workflow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def _is_yaml(fn: str) -> bool:
+    return fn.endswith((".yaml", ".yml"))
+
+
+def cmd_map(args) -> int:
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    engine = ArSlamEngine(config=_config(args),
+                          use_tpu_detector=not args.cpu_detector)
+    images = []
+    for fn in args.inputs:
+        if _is_yaml(fn):
+            engine.load_map(fn)
+        else:
+            images.append(fn)
+    if images:
+        engine.add_images(images)
+    summary = engine.solve()
+    engine.print_cameras()
+    engine.save_map(args.output)
+    print(f"solved {summary.get('waves', 0)} captures, "
+          f"rmse {summary.get('rmse', float('nan')):.4f} px -> {args.output}")
+    return 0
+
+
+def cmd_localize(args) -> int:
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    engine = ArSlamEngine(config=_config(args),
+                          use_tpu_detector=not args.cpu_detector)
+    engine.load_map(args.map)
+    images = []
+    for fn in args.inputs:
+        if _is_yaml(fn):
+            engine.load_map(fn)
+        else:
+            images.append(fn)
+    result = engine.localize(images)
+    engine.print_cameras()
+    engine.save_map(args.output)
+    for uid, status in result.get("status", {}).items():
+        print(f"{uid}: {status}")
+    print(f"localized {result.get('localized', 0)} captures, "
+          f"rmse {result.get('rmse', float('nan')):.4f} px -> {args.output}")
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from ar_slam_tpu.detect.gen import generate_pages
+
+    paths = generate_pages(args.out_dir, args.dictionary)
+    for p in paths:
+        print(p)
+    return 0
+
+
+def cmd_detect(args) -> int:
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    engine = ArSlamEngine(config=_config(args),
+                          use_tpu_detector=not args.cpu_detector)
+    for uid, dets, size, _path in engine.detect_images(args.inputs):
+        print(json.dumps({
+            "uid": uid,
+            "width": size[0],
+            "height": size[1],
+            "detections": [
+                {"id": tid, "corners": c.reshape(-1).tolist()}
+                for tid, c in dets
+            ],
+        }))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Incremental mapping: read image paths (one per line) from stdin or
+    watch a directory; solve incrementally after each batch; save the map
+    on shutdown (≙ ArSlam node lifecycle ar_slam.cpp:103-111)."""
+    import time
+
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    engine = ArSlamEngine(config=_config(args),
+                          use_tpu_detector=not args.cpu_detector)
+    if args.map and os.path.exists(args.map):
+        engine.load_map(args.map)
+    seen = set()
+    try:
+        if args.watch:
+            print(f"watching {args.watch} (ctrl-c to stop)")
+            while True:
+                batch = []
+                for fn in sorted(os.listdir(args.watch)):
+                    p = os.path.join(args.watch, fn)
+                    if p not in seen and fn.lower().endswith(
+                            (".jpg", ".jpeg", ".png")):
+                        seen.add(p)
+                        batch.append(p)
+                if batch:
+                    engine.add_images(batch)
+                    s = engine.solve_incremental()
+                    print(f"+{len(batch)} images: {s}")
+                time.sleep(args.poll)
+        else:
+            for line in sys.stdin:
+                fn = line.strip()
+                if not fn:
+                    continue
+                engine.add_images([fn])
+                s = engine.solve_incremental()
+                print(f"{fn}: {s}")
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if args.output:
+            engine.save_map(args.output)
+        engine.close()
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine, EventLog
+    import numpy as np
+
+    engine = ArSlamEngine(config=_config(args))
+    for rec in EventLog.replay(args.log):
+        if rec["kind"] != "detections":
+            continue
+        dets = [(d["id"], np.asarray(d["corners"]).reshape(4, 2))
+                for d in rec["detections"]]
+        engine.store.add_detections(rec["uid"], dets,
+                                    (rec["width"], rec["height"]),
+                                    rec.get("path", ""))
+    summary = engine.solve()
+    engine.save_map(args.output)
+    print(f"replayed -> rmse {summary.get('rmse', float('nan')):.4f} px "
+          f"-> {args.output}")
+    return 0
+
+
+def cmd_annotate(args) -> int:
+    """Write annotated debug images (≙ displayDebug, headless)."""
+    import numpy as np
+
+    from ar_slam_tpu.graph import MapStore, load_yaml
+    from ar_slam_tpu.pipeline.ingest import load_image
+    from ar_slam_tpu.viz.annotate import annotate_capture
+
+    store = MapStore()
+    load_yaml(store, args.map)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for cap in store.captures:
+        if not cap.img_fn or not os.path.exists(cap.img_fn):
+            continue
+        img = load_image(cap.img_fn)
+        out = os.path.join(args.out_dir, f"{cap.uid}_annotated.png")
+        annotate_capture(store, cap.index, img, out,
+                         show_all_tags=args.all_tags)
+        print(out)
+    return 0
+
+
+def _config(args):
+    from ar_slam_tpu.config import ArSlamConfig, SolverConfig, CameraConfig
+    import dataclasses
+
+    cfg = ArSlamConfig()
+    if getattr(args, "parity", False):
+        cfg = dataclasses.replace(
+            cfg,
+            solver=dataclasses.replace(cfg.solver, seed_mode="frontal"),
+            camera=dataclasses.replace(cfg.camera, focal_init_mode="fixed"),
+        )
+    return cfg
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(levelname)s] %(name)s: %(message)s",
+    )
+    p = argparse.ArgumentParser(prog="arslam",
+                                description="TPU-native AR-tag SLAM engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--cpu-detector", action="store_true",
+                        help="use the NumPy oracle detector instead of the "
+                             "batched device detector")
+        sp.add_argument("--parity", action="store_true",
+                        help="reference-parity mode: fixed focal init 3000 "
+                             "+ frontal-only seeding")
+
+    sp = sub.add_parser("map", help="batch mapping (≙ ar_slam_cli)")
+    sp.add_argument("inputs", nargs="+",
+                    help="mix of map .yaml checkpoints and images")
+    sp.add_argument("-o", "--output", default="map.yaml")
+    common(sp)
+    sp.set_defaults(fn=cmd_map)
+
+    sp = sub.add_parser("localize", help="localize against a map (≙ ar_loc)")
+    sp.add_argument("map", help="map.yaml to localize against")
+    sp.add_argument("inputs", nargs="+", help="images (or more yaml)")
+    sp.add_argument("-o", "--output", default="localize.yaml")
+    common(sp)
+    sp.set_defaults(fn=cmd_localize)
+
+    sp = sub.add_parser("gen", help="generate printable tag sheets (≙ ar_gen)")
+    sp.add_argument("--dictionary", default="4X4_50")
+    sp.add_argument("--out-dir", default=".")
+    sp.set_defaults(fn=cmd_gen)
+
+    sp = sub.add_parser("detect", help="detect markers, print JSON")
+    sp.add_argument("inputs", nargs="+")
+    common(sp)
+    sp.set_defaults(fn=cmd_detect)
+
+    sp = sub.add_parser("serve", help="incremental mapping loop")
+    sp.add_argument("--map", default="", help="initial map.yaml to extend")
+    sp.add_argument("-o", "--output", default="map.yaml")
+    sp.add_argument("--watch", default="", help="directory to watch")
+    sp.add_argument("--poll", type=float, default=0.5)
+    common(sp)
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("replay", help="rebuild a map from an event log")
+    sp.add_argument("log")
+    sp.add_argument("-o", "--output", default="map.yaml")
+    common(sp)
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("annotate", help="write annotated debug images")
+    sp.add_argument("map")
+    sp.add_argument("--out-dir", default="annotated")
+    sp.add_argument("--all-tags", action="store_true")
+    sp.set_defaults(fn=cmd_annotate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

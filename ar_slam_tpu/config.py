@@ -68,7 +68,7 @@ class DetectConfig:
     max_candidates: int = 64  # fixed candidate budget per image (TPU static shape)
     border_bits: int = 1
     max_hamming: dict[str, int] = field(
-        default_factory=lambda: {"4X4_50": 1, "5X5_100": 3}
+        default_factory=lambda: {"4X4_50": 0, "5X5_100": 2}
     )
 
 
@@ -83,6 +83,10 @@ class PipelineConfig:
     output_map_fn: str = ""
     display_debug: bool = False
     event_log_path: str = ""  # ≙ bag_recorder.cpp fixed /tmp/ar_slam.bag
+    # periodic durable checkpoint cadence during long incremental runs
+    # (map.yaml is the checkpoint format); 0 disables
+    snapshot_every_s: float = 0.0
+    profile_trace_dir: str = ""  # jax.profiler trace output (xprof)
 
 
 @dataclass(frozen=True)

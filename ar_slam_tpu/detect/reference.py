@@ -169,6 +169,10 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
     thresh = otsu_threshold(samples)
     dark = samples < thresh
     cells = dark.reshape(n, sub, n, sub).mean(axis=(1, 3))
+    # bit decisiveness (same guard as the TPU detector): kill blur-only
+    # regions; id discrimination itself comes from hamming-0 matching
+    if 2.0 * np.median(np.abs(cells - 0.5)) < 0.6:
+        return None, False
     grid_dark = cells > 0.5  # True = dark
     b = border_bits
     border = np.concatenate([
@@ -308,10 +312,18 @@ def detect_markers(
                 continue
             # include the half-pixel edge: component pixels are cell centers
             quad_s = expand_quad(quad, 0.5)
+            # subpixel-refine BEFORE bit sampling: decimation corners can sit
+            # ~2 px off, enough to flip a bit of a small far-away tag
+            if refine:
+                quad_s = refine_corners(gray, quad_s)
             for d in dicts:
-                bits, border_ok = sample_bits(
-                    gray, quad_s, d.marker_size, border_bits
-                )
+                try:
+                    bits, border_ok = sample_bits(
+                        gray, quad_s, d.marker_size, border_bits
+                    )
+                except np.linalg.LinAlgError:
+                    # refinement can collapse a junk candidate's corners
+                    break
                 if not border_ok:
                     continue
                 mh = max_hamming.get(d.name, _default_hamming(d))
@@ -323,8 +335,6 @@ def detect_markers(
                 # (4 - rot) % 4, i.e. forward-roll by rot (verified against
                 # cv::aruco corner order on the demo images)
                 corners = np.roll(quad_s, rot, axis=0)
-                if refine:
-                    corners = refine_corners(gray, corners)
                 center = corners.mean(axis=0)
                 dup = False
                 for name, c0 in seen_centers:
@@ -356,4 +366,8 @@ def expand_quad(quad: np.ndarray, margin_px: float) -> np.ndarray:
 
 
 def _default_hamming(d) -> int:
-    return 1 if d.marker_size <= 4 else 3
+    """Default error-correction budget: 0 bits for 4x4 (its 16-bit codes sit
+    close together — cv::aruco's errorCorrectionRate*maxCorrectionBits also
+    truncates to 0 — and every real 4x4 tag on the demo photos decodes at
+    hamming 0 while every false positive needs 1), 2 bits for 5x5."""
+    return 0 if d.marker_size <= 4 else 2

@@ -1,0 +1,424 @@
+"""Batched TPU Aruco detection — dense, fixed-budget re-cast of the oracle.
+
+The reference runs cv::aruco::detectMarkers per image on CPU threads
+(aruco_detector.cpp:93-135, two detector components in parallel).  Here the
+whole batch of images goes through one jitted device program, and BOTH
+dictionaries decode from one candidate extraction pass (the merge stage of
+the reference collapses into this kernel).
+
+Dense recasts of the sequential stages (SURVEY.md §7 "hard parts"):
+
+- adaptive threshold: two cumsum-based box sums (VPU-friendly).
+- connected components: iterative 3x3 min-label propagation + pointer
+  jumping over the flattened label image — O(log diameter) rounds, fully
+  data-parallel (the contour-following replacement).
+- quad corners: convex extreme points per component via masked segment
+  reductions — A = farthest from centroid, C = farthest from A, B/D =
+  extremes either side of line AC.  For a perspective-projected square
+  these are exactly its corners; no contour walk needed.
+- bit decode: per-candidate 8x8 homography solve, grid gather, per-candidate
+  Otsu, and dictionary matching as one {0,1} matmul (MXU) over all
+  rotations of all markers.
+
+Everything is shape-static: K candidate slots per image, padded outputs
+with a valid mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ar_slam_tpu.detect.dictionaries import get_dictionary
+
+BIG = jnp.int32(2**30)
+
+
+class DetectParams(NamedTuple):
+    win: int = 23
+    thresh_c: float = 7.0
+    max_candidates: int = 32
+    ccl_iters: int = 8
+    min_perimeter_rate: float = 0.03
+    max_perimeter_rate: float = 4.0
+    min_corner_distance_rate: float = 0.1
+    min_otsu_std: float = 5.0
+    border_frac: float = 0.85
+    # bit decisiveness: 2*median|cell - 0.5| over the sampled grid — kills
+    # blur-only regions; id discrimination comes from hamming-0 matching
+    min_bit_margin: float = 0.6
+    sub: int = 3
+    refine: bool = True
+    refine_win: int = 5
+    refine_iters: int = 4
+
+
+def box_mean(img, win: int):
+    """Windowed mean via padded cumsum (integral image), matching the
+    oracle's box_mean."""
+    pad = win // 2
+    padded = jnp.pad(img, pad + 1, mode="edge").astype(jnp.float32)
+    ii = jnp.cumsum(jnp.cumsum(padded, axis=0), axis=1)
+    h, w = img.shape
+    s = (
+        ii[win:win + h, win:win + w]
+        - ii[0:h, win:win + w]
+        - ii[win:win + h, 0:w]
+        + ii[0:h, 0:w]
+    )
+    return s / (win * win)
+
+
+def adaptive_threshold(gray, win: int, c: float):
+    return gray < box_mean(gray, win) - c
+
+
+def _segmented_min_scan(labels, fg, axis, reverse):
+    """Min-scan of ``labels`` along ``axis`` that resets at background
+    pixels — a segmented scan via lax.associative_scan (log-depth, fully
+    vectorized, no gathers: the TPU-friendly propagation primitive)."""
+    v = jnp.where(fg, labels, BIG)
+    r = ~fg
+
+    def combine(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb, vb, jnp.minimum(va, vb)), ra | rb
+
+    out_v, _ = jax.lax.associative_scan(
+        combine, (v, r), axis=axis, reverse=reverse
+    )
+    return jnp.where(fg, out_v, BIG)
+
+
+def connected_components(binary, iters: int):
+    """Label each foreground pixel with the min linear index of its
+    8-connected component.  Background pixels get BIG.
+
+    Dense recast of contour/union-find: each round propagates min labels
+    across whole horizontal and vertical runs (4 segmented scans) plus one
+    3x3 min-pool for diagonal links.  A round resolves one "bend" of a
+    component, so ring-shaped marker borders converge in a few rounds —
+    no 1-D gathers (TPU gathers are scalar-slow)."""
+    h, w = binary.shape
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    labels = jnp.where(binary, idx, BIG)
+
+    def step(labels, _):
+        # diagonal/8-connectivity links
+        neigh = -jax.lax.reduce_window(
+            -labels, -BIG, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        labels = jnp.where(binary, jnp.minimum(labels, neigh), BIG)
+        # full-run propagation along rows then columns (both directions)
+        labels = _segmented_min_scan(labels, binary, axis=1, reverse=False)
+        labels = _segmented_min_scan(labels, binary, axis=1, reverse=True)
+        labels = _segmented_min_scan(labels, binary, axis=0, reverse=False)
+        labels = _segmented_min_scan(labels, binary, axis=0, reverse=True)
+        return labels, None
+
+    labels, _ = jax.lax.scan(step, labels, None, length=iters)
+    return labels
+
+
+def _top_k_components(labels_flat, k):
+    """Top-k component root labels by pixel count, scatter-free.
+
+    One sort (TPU-fast, vectorized bitonic) + scans: run lengths of the
+    sorted label array give per-component areas; top_k over run starts.
+    Returns (roots (k,) int32, areas (k,) float32) with area 0 for empty
+    slots (root BIG).
+    """
+    p = labels_flat.shape[0]
+    s = jnp.sort(labels_flat)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    is_end = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
+    # run start index at each position (cummax of start positions)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    # at run ends, the full run length; 0 elsewhere / background
+    cand_len = jnp.where(is_end & (s != BIG), pos - start_pos + 1, 0)
+    top_area, top_pos = jax.lax.top_k(cand_len.astype(jnp.float32), k)
+    roots = jnp.where(top_area > 0, s[top_pos], BIG)
+    return roots, top_area
+
+
+def extract_candidates(binary, labels, params: DetectParams):
+    """Per-image candidate quads — TPU-native: no scatters, no per-label
+    segment space.  Top-K components come from one sort; all per-candidate
+    stats are fused masked [K, P] reductions.
+
+    Returns (quads (K, 4, 2) float32 ordered CW-from-topleft, areas (K,),
+    valid (K,)).
+    """
+    h, w = binary.shape
+    p = h * w
+    labels_flat = labels.reshape(-1)
+    k = params.max_candidates
+
+    roots, top_area = _top_k_components(labels_flat, k)
+    member = labels_flat[None, :] == roots[:, None]  # (K, P)
+
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    xf = xs.reshape(-1)[None, :]
+    yf = ys.reshape(-1)[None, :]
+
+    area_safe = jnp.maximum(top_area, 1.0)[:, None]
+    cx = jnp.where(member, xf, 0.0).sum(axis=1, keepdims=True) / area_safe
+    cy = jnp.where(member, yf, 0.0).sum(axis=1, keepdims=True) / area_safe
+
+    neg = jnp.float32(-3.0e38)
+
+    def arg_extreme(score):
+        """Per-candidate argmax over member pixels -> (K, 2) coords."""
+        masked = jnp.where(member, score, neg)
+        idx = jnp.argmax(masked, axis=1)  # (K,)
+        return jnp.stack([xf[0, idx], yf[0, idx]], axis=-1)
+
+    a = arg_extreme((xf - cx) ** 2 + (yf - cy) ** 2)
+    c = arg_extreme((xf - a[:, 0:1]) ** 2 + (yf - a[:, 1:2]) ** 2)
+    nx = -(c[:, 1:2] - a[:, 1:2])
+    ny = c[:, 0:1] - a[:, 0:1]
+    sdist = nx * (xf - a[:, 0:1]) + ny * (yf - a[:, 1:2])
+    b = arg_extreme(sdist)
+    d = arg_extreme(-sdist)
+    quad = jnp.stack([a, b, c, d], axis=1)  # (K, 4, 2) around the hull
+
+    # order clockwise from top-left (like the oracle)
+    center = quad.mean(axis=1, keepdims=True)
+    ang = jnp.arctan2(quad[..., 1] - center[..., 1],
+                      quad[..., 0] - center[..., 0])
+    order = jnp.argsort(ang, axis=1)
+    quad = jnp.take_along_axis(quad, order[..., None], axis=1)
+    start = jnp.argmin(quad.sum(axis=-1), axis=1)
+    roll_idx = (jnp.arange(4)[None, :] + start[:, None]) % 4
+    quad = jnp.take_along_axis(quad, roll_idx[..., None], axis=1)
+
+    # expand by half-pixel to the cell edge
+    centerq = quad.mean(axis=1, keepdims=True)
+    d = quad - centerq
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    quad = quad + d / jnp.maximum(norm, 1e-9) * (0.5 * np.sqrt(2.0))
+
+    k_area = top_area
+    valid = k_area > 0
+
+    # geometric filters
+    edges = jnp.linalg.norm(quad - jnp.roll(quad, -1, axis=1), axis=-1)
+    perimeter = edges.sum(axis=1)
+    max_dim = float(max(h, w))
+    valid &= perimeter >= 4 * params.min_perimeter_rate * max_dim * 0.5
+    valid &= perimeter <= 4 * params.max_perimeter_rate * max_dim
+    valid &= edges.min(axis=1) >= params.min_corner_distance_rate * perimeter
+    # quad-ness: component area must cover a reasonable fraction of hull
+    # boundary (ring components) — approximated by perimeter coverage
+    valid &= k_area >= 0.5 * perimeter
+
+    return quad, k_area, valid
+
+
+def homography_unit_square_batch(quads):
+    """(K, 4, 2) quads -> (K, 3, 3) homographies (unit square -> quad)."""
+    k = quads.shape[0]
+    src = jnp.array([[0.0, 0], [1, 0], [1, 1], [0, 1]], dtype=quads.dtype)
+
+    def one(quad):
+        rows = []
+        rhs = []
+        for i in range(4):
+            x, y = src[i, 0], src[i, 1]
+            u, v = quad[i, 0], quad[i, 1]
+            zero = jnp.zeros((), quads.dtype)
+            one_ = jnp.ones((), quads.dtype)
+            rows.append(jnp.stack([x, y, one_, zero, zero, zero,
+                                   -u * x, -u * y]))
+            rhs.append(u)
+            rows.append(jnp.stack([zero, zero, zero, x, y, one_,
+                                   -v * x, -v * y]))
+            rhs.append(v)
+        a = jnp.stack(rows)
+        b = jnp.stack(rhs)
+        h8 = jnp.linalg.solve(a, b)
+        return jnp.concatenate([h8, jnp.ones((1,), quads.dtype)]).reshape(3, 3)
+
+    return jax.vmap(one)(quads.astype(jnp.float32))
+
+
+def otsu_batch(samples, bins: int = 32):
+    """Per-row Otsu threshold.  samples (K, S) -> (K,) thresholds."""
+    lo = samples.min(axis=1, keepdims=True)
+    hi = samples.max(axis=1, keepdims=True)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((samples - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    hist = jax.nn.one_hot(q, bins, dtype=jnp.float32).sum(axis=1)  # (K, bins)
+    centers = lo + (jnp.arange(bins, dtype=jnp.float32)[None, :] + 0.5) / bins * span
+    w0 = jnp.cumsum(hist, axis=1)
+    w1 = w0[:, -1:] - w0
+    m0 = jnp.cumsum(hist * centers, axis=1)
+    mt = m0[:, -1:]
+    mu0 = m0 / jnp.maximum(w0, 1e-9)
+    mu1 = (mt - m0) / jnp.maximum(w1, 1e-9)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    best = jnp.argmax(between, axis=1)
+    return jnp.take_along_axis(centers, best[:, None], axis=1)[:, 0]
+
+
+def decode_candidates(gray, quads, valid, dict_name: str,
+                      params: DetectParams, tables):
+    """Decode candidate quads against one dictionary.
+
+    Returns (marker_ids (K,), rot (K,), corners (K, 4, 2), ok (K,)).
+    """
+    d_bits, max_hamming = tables[dict_name]
+    n_markers = d_bits.shape[1]
+    s = int(np.sqrt(d_bits.shape[2]))
+    b = 1
+    n = s + 2 * b
+    sub = params.sub
+    h, w = gray.shape
+
+    hmat = homography_unit_square_batch(quads)  # (K, 3, 3)
+    offs = (jnp.arange(sub, dtype=jnp.float32) + 0.5) / sub
+    cell = jnp.arange(n, dtype=jnp.float32)
+    u = (cell[:, None] + offs[None, :]).reshape(-1) / n  # (n*sub,)
+    uu, vv = jnp.meshgrid(u, u, indexing="xy")
+    pts = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)  # (ns, ns, 3)
+    proj = jnp.einsum("kij,abj->kabi", hmat, pts)
+    xy = proj[..., :2] / jnp.maximum(jnp.abs(proj[..., 2:3]), 1e-9) * jnp.sign(
+        proj[..., 2:3] + 1e-30
+    )
+    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    samples = gray[yi, xi]  # (K, ns, ns)
+
+    k = quads.shape[0]
+    flat = samples.reshape(k, -1)
+    std_ok = flat.std(axis=1) >= params.min_otsu_std
+    thresh = otsu_batch(flat)
+    dark = flat < thresh[:, None]
+    cells = dark.reshape(k, n, sub, n, sub).mean(axis=(2, 4))  # (K, n, n)
+    grid_dark = cells > 0.5
+    bit_margin = 2.0 * jnp.median(
+        jnp.abs(cells - 0.5).reshape(k, -1), axis=1
+    )
+    margin_ok = bit_margin >= params.min_bit_margin
+
+    border_mask = jnp.zeros((n, n), bool).at[:b, :].set(True)
+    border_mask = border_mask.at[-b:, :].set(True)
+    border_mask = border_mask.at[:, :b].set(True)
+    border_mask = border_mask.at[:, -b:].set(True)
+    border_frac = jnp.where(border_mask[None], grid_dark, False).sum(axis=(1, 2)) / border_mask.sum()
+    border_ok = border_frac > params.border_frac
+
+    inner = grid_dark[:, b:-b, b:-b]
+    bits = (~inner).reshape(k, s * s).astype(jnp.float32)  # white = 1
+
+    # hamming distance to all rotations of all markers via {0,1} matmuls
+    t = d_bits.reshape(4 * n_markers, s * s).astype(jnp.float32)
+    dist = bits @ (1.0 - t).T + (1.0 - bits) @ t.T  # (K, 4N)
+    flat_idx = jnp.argmin(dist, axis=1)
+    min_dist = jnp.take_along_axis(dist, flat_idx[:, None], axis=1)[:, 0]
+    rot = flat_idx // n_markers
+    marker_id = flat_idx % n_markers
+
+    ok = valid & std_ok & border_ok & margin_ok & (min_dist <= max_hamming)
+    # canonicalize corner order: forward-roll by rot
+    roll_idx = (jnp.arange(4)[None, :] - rot[:, None]) % 4
+    corners = jnp.take_along_axis(quads, roll_idx[..., None], axis=1)
+    return marker_id, rot, corners, ok
+
+
+def refine_corners_batch(gray, corners, win: int, iters: int):
+    """Vmapped gradient-based subpixel corner refinement
+    (cornerSubPix-style normal equations on a (2*win+1)² window)."""
+    h, w = gray.shape
+    gy, gx = jnp.gradient(gray)
+    offs = jnp.arange(-win, win + 1, dtype=jnp.int32)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+
+    def refine_one(c):
+        def step(i, c):
+            cx, cy = c[0], c[1]
+            x0 = jnp.clip(jnp.round(cx).astype(jnp.int32), win + 1,
+                          w - win - 2)
+            y0 = jnp.clip(jnp.round(cy).astype(jnp.int32), win + 1,
+                          h - win - 2)
+            xs = x0 + ox
+            ys = y0 + oy
+            gxs = gx[ys, xs]
+            gys = gy[ys, xs]
+            a = jnp.sum(gxs * gxs)
+            b = jnp.sum(gxs * gys)
+            d = jnp.sum(gys * gys)
+            bx = jnp.sum((gxs * gxs) * xs + (gxs * gys) * ys)
+            by = jnp.sum((gxs * gys) * xs + (gys * gys) * ys)
+            det = a * d - b * b
+            ok = jnp.abs(det) > 1e-6
+            nx = jnp.where(ok, (d * bx - b * by) / jnp.where(ok, det, 1.0), cx)
+            ny = jnp.where(ok, (a * by - b * bx) / jnp.where(ok, det, 1.0), cy)
+            # reject wild jumps (low-texture windows)
+            jump = jnp.hypot(nx - cx, ny - cy)
+            keep = ok & (jump < 2.0 * win)
+            return jnp.stack([jnp.where(keep, nx, cx),
+                              jnp.where(keep, ny, cy)])
+
+        return jax.lax.fori_loop(0, iters, step, c)
+
+    flat = corners.reshape(-1, 2)
+    out = jax.vmap(refine_one)(flat)
+    return out.reshape(corners.shape)
+
+
+def make_tables(dict_names, max_hamming=None):
+    """Host-side: rotation-expanded dictionary tables as arrays."""
+    out = {}
+    from ar_slam_tpu.detect.reference import _default_hamming
+
+    for name in dict_names:
+        d = get_dictionary(name)
+        mh = (max_hamming or {}).get(name, _default_hamming(d))
+        out[name] = (jnp.asarray(d.rotations), float(mh))
+    return out
+
+
+@partial(jax.jit, static_argnames=("params", "dict_names"))
+def detect_batch(images, *, params: DetectParams = DetectParams(),
+                 dict_names=("4X4_50", "5X5_100")):
+    """Detect markers in a batch of grayscale images.
+
+    Args:
+      images: (N, H, W) uint8/float grayscale.
+
+    Returns dict with, per dictionary name:
+      ids (N, K) int32 marker ids (-1 invalid), corners (N, K, 4, 2)
+      float32 pixel coords (canonical corner order), valid (N, K) bool.
+    """
+    tables = make_tables(dict_names)
+    images = images.astype(jnp.float32)
+
+    def per_image(gray):
+        binary = adaptive_threshold(gray, params.win, params.thresh_c)
+        labels = connected_components(binary, params.ccl_iters)
+        quads, areas, valid = extract_candidates(binary, labels, params)
+        out = {}
+        for name in dict_names:
+            mid, rot, corners, ok = decode_candidates(
+                gray, quads, valid, name, params, tables
+            )
+            if params.refine:
+                corners = refine_corners_batch(
+                    gray, corners, params.refine_win, params.refine_iters
+                )
+            out[name] = {
+                "ids": jnp.where(ok, mid, -1),
+                "corners": corners,
+                "valid": ok,
+            }
+        return out
+
+    return jax.vmap(per_image)(images)

@@ -72,26 +72,42 @@ def export_arrays(
     for tag in store.arucos:
         tag_poses[tag.index] = tag.pose
 
-    if block_filter is not None:
-        blocks = [store.blocks[i] for i in block_filter]
-    elif cap_order is not None:
-        included = set(cap_order)
-        blocks = [b for b in store.blocks if b.cap_idx in included]
+    native = getattr(store, "_native", None)
+    if native is not None and block_filter is None and cap_order is None:
+        # bulk export via the C++ core
+        ci, ti, crn = native.export_blocks()
+        n_blocks = ci.shape[0]
+        b_pad = bucket_size(n_blocks) if pad else max(n_blocks, 1)
+        cap_idx = np.zeros(b_pad, dtype=np.int32)
+        tag_idx = np.zeros(b_pad, dtype=np.int32)
+        corners = np.zeros((b_pad, 4, 2), dtype=dtype)
+        block_mask = np.zeros(b_pad, dtype=bool)
+        cap_idx[:n_blocks] = ci
+        tag_idx[:n_blocks] = ti
+        corners[:n_blocks] = crn
+        block_mask[:n_blocks] = True
+        blocks = store.blocks
     else:
-        blocks = list(store.blocks)
+        if block_filter is not None:
+            blocks = [store.blocks[i] for i in block_filter]
+        elif cap_order is not None:
+            included = set(cap_order)
+            blocks = [b for b in store.blocks if b.cap_idx in included]
+        else:
+            blocks = list(store.blocks)
 
-    n_blocks = len(blocks)
-    b_pad = bucket_size(n_blocks) if pad else max(n_blocks, 1)
+        n_blocks = len(blocks)
+        b_pad = bucket_size(n_blocks) if pad else max(n_blocks, 1)
 
-    cap_idx = np.zeros(b_pad, dtype=np.int32)
-    tag_idx = np.zeros(b_pad, dtype=np.int32)
-    corners = np.zeros((b_pad, 4, 2), dtype=dtype)
-    block_mask = np.zeros(b_pad, dtype=bool)
-    for i, b in enumerate(blocks):
-        cap_idx[i] = b.cap_idx
-        tag_idx[i] = b.tag_idx
-        corners[i] = b.corners
-        block_mask[i] = True
+        cap_idx = np.zeros(b_pad, dtype=np.int32)
+        tag_idx = np.zeros(b_pad, dtype=np.int32)
+        corners = np.zeros((b_pad, 4, 2), dtype=dtype)
+        block_mask = np.zeros(b_pad, dtype=bool)
+        for i, b in enumerate(blocks):
+            cap_idx[i] = b.cap_idx
+            tag_idx[i] = b.tag_idx
+            corners[i] = b.corners
+            block_mask[i] = True
 
     cap_mask = np.zeros(c_pad, dtype=bool)
     if cap_order is not None:
@@ -99,8 +115,8 @@ def export_arrays(
     else:
         cap_mask[:n_caps] = True
     tag_mask = np.zeros(t_pad, dtype=bool)
-    seen_tags = sorted({b.tag_idx for b in blocks}) if blocks else []
     if cap_order is not None:
+        seen_tags = sorted({b.tag_idx for b in blocks}) if blocks else []
         tag_mask[seen_tags] = True
     else:
         tag_mask[: len(store.arucos)] = True

@@ -30,6 +30,20 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _native_default() -> bool:
+    """Use the C++ topology core when built (override: AR_SLAM_NATIVE=0)."""
+    import os
+
+    if os.environ.get("AR_SLAM_NATIVE", "1") == "0":
+        return False
+    try:
+        from ar_slam_tpu.graph import native
+
+        return native.available()
+    except Exception:  # noqa: BLE001
+        return False
+
+
 @dataclass
 class Capture:
     """One camera capture (≙ reference Capture, ar_slam_util.hpp:192-225).
@@ -83,9 +97,16 @@ class CameraState:
 
 
 class MapStore:
-    """The capture–tag bipartite constraint graph."""
+    """The capture–tag bipartite constraint graph.
 
-    def __init__(self, initial_focal: float = 3000.0):
+    With ``native=True`` (default: auto-detect) the graph TOPOLOGY is
+    mirrored into the C++ core (ar_slam_tpu.graph.native) and the heavy
+    topology queries — BFS ordering, seed selection, bulk block export —
+    are served natively; pose state stays in NumPy on the Python side.
+    """
+
+    def __init__(self, initial_focal: float = 3000.0,
+                 native: bool | None = None):
         self.captures: list[Capture] = []
         self.arucos: list[Aruco] = []
         self.blocks: list[Block] = []
@@ -93,6 +114,13 @@ class MapStore:
         self.aruco_map: dict[str, int] = {}
         self.camera = CameraState(params=np.array([initial_focal, 0.0, 0.0]))
         self.unsolved_captures: set[int] = set()
+        self._native = None
+        if native is None:
+            native = _native_default()
+        if native:
+            from ar_slam_tpu.graph.native import NativeGraph
+
+            self._native = NativeGraph()
 
     # ---- mutation ---------------------------------------------------------
 
@@ -102,6 +130,8 @@ class MapStore:
         cap = Capture(uid=uid, index=len(self.captures), img_fn=img_fn)
         self.captures.append(cap)
         self.capture_map[uid] = cap.index
+        if self._native is not None:
+            self._native.add_capture(uid, img_fn)
         return cap
 
     def add_aruco(self, tag_id: str) -> Aruco:
@@ -110,6 +140,8 @@ class MapStore:
         tag = Aruco(id=tag_id, index=len(self.arucos))
         self.arucos.append(tag)
         self.aruco_map[tag_id] = tag.index
+        if self._native is not None:
+            self._native.get_or_add_aruco(tag_id)
         return tag
 
     def get_or_add_aruco(self, tag_id: str) -> Aruco:
@@ -126,6 +158,8 @@ class MapStore:
         self.blocks.append(block)
         self.captures[cap_idx].blocks.append(block.index)
         self.arucos[tag_idx].blocks.append(block.index)
+        if self._native is not None:
+            self._native.add_block(cap_idx, tag_idx, corners)
         return block
 
     def gen_unique_capture_uid(self) -> str:
@@ -211,7 +245,12 @@ class MapStore:
     def connected_component(self, seed_cap: int) -> list[int]:
         """BFS capture order from a seed over shared tags, recording each
         capture's init_block exactly like addConnectedCaptures
-        (ar_slam_util.cpp:869-885)."""
+        (ar_slam_util.cpp:869-885).  Served by the native core when built."""
+        if self._native is not None:
+            order, init_blocks = self._native.bfs_order(seed_cap)
+            for idx, ib in zip(order.tolist(), init_blocks.tolist()):
+                self.captures[idx].init_block = ib if ib >= 0 else -1
+            return order.tolist()
         order = [seed_cap]
         self.captures[seed_cap].init_block = -1  # sentinel: seed has no init block
         queue = [seed_cap]
@@ -230,6 +269,8 @@ class MapStore:
     def capture_with_most_blocks(self) -> int:
         """Seed selection (≙ ar_slam_util.cpp:759-771): first capture with the
         max block count."""
+        if self._native is not None:
+            return self._native.capture_with_most_blocks()
         best, best_n = 0, len(self.captures[0].blocks)
         for idx in range(1, len(self.captures)):
             n = len(self.captures[idx].blocks)

@@ -1,0 +1,223 @@
+"""The mapping engine: detection ingestion + incremental solve + artifacts.
+
+≙ the ArSlam node (ar_slam.cpp): consume merged detections, run incremental
+BA, export transforms/camera-info/markers, save the map on shutdown
+(ar_slam.cpp:103-111).  Plus the batch flows of the CLIs (ar_slam_cli.cpp,
+ar_loc.cpp) and the event-log recorder (≙ BagRecorder, bag_recorder.cpp —
+jsonl instead of a rosbag).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from ar_slam_tpu.config import ArSlamConfig
+from ar_slam_tpu.graph import MapStore, load_yaml, save_yaml
+from ar_slam_tpu.pipeline.ingest import ImageIngest
+
+logger = logging.getLogger(__name__)
+
+
+class EventLog:
+    """Append-only jsonl event recorder (≙ BagRecorder's /tmp/ar_slam.bag):
+    captures and merged detections, replayable into a new engine."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a")
+
+    def record(self, kind: str, **payload):
+        rec = {"t": time.time(), "kind": kind, **payload}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+    @staticmethod
+    def replay(path: str):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    yield json.loads(line)
+
+
+class ArSlamEngine:
+    """Incremental mapping engine with a device-batched detection front end."""
+
+    def __init__(self, config: ArSlamConfig | None = None,
+                 use_tpu_detector: bool = True):
+        from ar_slam_tpu.utils.metrics import Metrics
+
+        self.config = config or ArSlamConfig()
+        self.store = MapStore(initial_focal=self.config.camera.initial_focal)
+        self.ingest = ImageIngest()
+        self.use_tpu_detector = use_tpu_detector
+        self.metrics = Metrics()
+        self.event_log = None
+        if self.config.pipeline.event_log_path:
+            self.event_log = EventLog(self.config.pipeline.event_log_path)
+
+    # ---- restore ---------------------------------------------------------
+
+    def load_map(self, path: str):
+        load_yaml(self.store, path)
+        logger.info("loaded map %s: %s", path, self.store.stats())
+
+    # ---- detection front end --------------------------------------------
+
+    def detect_images(self, paths: list[str]) -> list[tuple[str, list, tuple, str]]:
+        """Ingest + detect a batch of images.
+
+        Returns [(uid, [(tag_id, centered_corners(4,2)), ...], (w, h), path)].
+        """
+        with self.metrics.timer("ingest"):
+            caps = self.ingest.ingest_many(paths)
+        if not caps:
+            return []
+        images = np.stack([c.image for c in caps])
+        h, w = images.shape[1:]
+        dict_names = tuple(self.config.detect.dictionaries)
+        with self.metrics.timer("detect"):
+            per_image = self._run_detector(images, dict_names)
+        self.metrics.count("images_detected", len(caps))
+        self.metrics.count(
+            "detections", sum(len(d) for d in per_image)
+        )
+        out = []
+        for i, cap in enumerate(caps):
+            dets = per_image[i]
+            if len(dets) <= 2:
+                logger.warning("not enough AR tags detected in %s (%d)",
+                               cap.path, len(dets))
+            out.append((cap.uid, dets, (w, h), cap.path))
+            if self.event_log:
+                self.event_log.record(
+                    "detections", uid=cap.uid, path=cap.path,
+                    width=w, height=h,
+                    detections=[
+                        {"id": tid, "corners": c.reshape(-1).tolist()}
+                        for tid, c in dets
+                    ],
+                )
+        return out
+
+    def _run_detector(self, images, dict_names):
+        h, w = images.shape[1:]
+        center = np.array([w / 2.0, h / 2.0])
+        per_image = [[] for _ in range(len(images))]
+        if self.use_tpu_detector:
+            import jax.numpy as jnp
+
+            from ar_slam_tpu.detect.tpu_detect import DetectParams, detect_batch
+
+            dcfg = self.config.detect
+            params = DetectParams(
+                win=dcfg.adaptive_thresh_win_sizes[0],
+                thresh_c=dcfg.adaptive_thresh_constant,
+                max_candidates=dcfg.max_candidates,
+                min_corner_distance_rate=dcfg.min_corner_distance_rate,
+                min_perimeter_rate=dcfg.min_marker_perimeter_rate,
+                max_perimeter_rate=dcfg.max_marker_perimeter_rate,
+            )
+            out = detect_batch(jnp.asarray(images), params=params,
+                               dict_names=dict_names)
+            for name in dict_names:
+                ids = np.asarray(out[name]["ids"])
+                corners = np.asarray(out[name]["corners"])
+                valid = np.asarray(out[name]["valid"])
+                for i in range(len(images)):
+                    for k in np.nonzero(valid[i])[0]:
+                        per_image[i].append(
+                            (f"aruco_{name}_{int(ids[i][k])}",
+                             corners[i][k] - center)
+                        )
+        else:
+            from ar_slam_tpu.detect.reference import detect_markers
+
+            for i, img in enumerate(images):
+                for d in detect_markers(img, dict_names=dict_names):
+                    per_image[i].append((d.id, d.corners - center))
+        return per_image
+
+    # ---- mapping flows ---------------------------------------------------
+
+    def add_images(self, paths: list[str]) -> list[int]:
+        """Detect + add captures to the graph (unsolved pool)."""
+        added = []
+        for uid, dets, size, path in self.detect_images(paths):
+            idx = self.store.add_detections(uid, dets, size, path)
+            if idx is not None:
+                added.append(idx)
+        return added
+
+    def solve(self) -> dict:
+        """Batch BFS solve (≙ ar_slam_cli)."""
+        from ar_slam_tpu.solve import solve_batch
+
+        with self.metrics.timer("solve"):
+            out = solve_batch(self.store, self.config)
+        self.metrics.count("captures_solved", out.get("waves", 0))
+        self._maybe_snapshot()
+        return out
+
+    def solve_incremental(self) -> dict:
+        """Incremental solve (≙ ArSlam::detection_callback path)."""
+        from ar_slam_tpu.solve import solve_incremental
+
+        with self.metrics.timer("solve_incremental"):
+            out = solve_incremental(self.store, self.config)
+        self.metrics.count("captures_solved", out.get("waves", 0))
+        self._maybe_snapshot()
+        return out
+
+    def _maybe_snapshot(self):
+        """Periodic durable checkpoint during long solves (orbax-style
+        cadence; the map.yaml IS the checkpoint format, SURVEY.md §5.4)."""
+        p = self.config.pipeline
+        if not p.output_map_fn or p.snapshot_every_s <= 0:
+            return
+        now = time.time()
+        last = getattr(self, "_last_snapshot", 0.0)
+        if now - last >= p.snapshot_every_s:
+            self._last_snapshot = now
+            self.save_map(p.output_map_fn)
+
+    def localize(self, paths: list[str]) -> dict:
+        """Localize new images against the frozen current map (≙ ar_loc)."""
+        from ar_slam_tpu.solve import localize_many
+
+        first = self.store.next_capture_index
+        self.add_images(paths)
+        return localize_many(self.store, first, self.config)
+
+    # ---- artifacts -------------------------------------------------------
+
+    def save_map(self, path: str):
+        save_yaml(self.store, path)
+        logger.info("saved map to %s", path)
+
+    def print_cameras(self):
+        p = self.store.camera.params
+        print(f"\tf={p[0]}\tl1={p[1]}\tl1={p[2]}")
+
+    def export_artifacts(self) -> dict:
+        from ar_slam_tpu.viz.export import (
+            camera_info, marker_array, transforms,
+        )
+
+        return {
+            "transforms": transforms(self.store),
+            "camera_info": camera_info(self.store),
+            "markers": marker_array(self.store, self.config.aruco_size),
+        }
+
+    def close(self):
+        if self.event_log:
+            self.event_log.close()

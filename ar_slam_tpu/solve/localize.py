@@ -133,41 +133,49 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
 
     config = config or ArSlamConfig()
     dtype = dtype or _default_dtype(config)
+    def tag_in_map(tag) -> bool:
+        return any(store.blocks[tbh].cap_idx < first_loc_cap_idx
+                   for tbh in tag.blocks)
+
     queries = []
     status = {}
     for cap in store.captures[first_loc_cap_idx:]:
         # find a block whose tag is shared with a map capture
         # (≙ ar_slam_util.cpp:911-927)
         seed_block = None
+        # NOTE deliberate divergence from the reference: localizeOne adds
+        # ALL of the query's blocks with tag poses constant — including
+        # tags absent from the map, whose never-initialized zero poses
+        # poison the pose-only solve (ar_slam_util.cpp:950-972).  We use
+        # only map-known tags.
+        map_blocks = []
         for bh in cap.blocks:
             tag = store.arucos[store.blocks[bh].tag_idx]
-            if any(
-                store.blocks[tbh].cap_idx < first_loc_cap_idx
-                for tbh in tag.blocks
-            ):
-                seed_block = bh
-                break
+            if tag_in_map(tag):
+                map_blocks.append(bh)
+                if seed_block is None:
+                    seed_block = bh
         if seed_block is None:
             logger.warning(
                 "Cannot find connected ar tags for capture %d", cap.index
             )
             status[cap.uid] = "disconnected"
             continue
-        queries.append((cap, seed_block))
+        queries.append((cap, seed_block, map_blocks))
         status[cap.uid] = "localized"
 
     if not queries:
         return {"status": status, "localized": 0}
 
-    k_pad = bucket_size(max(len(cap.blocks) for cap, _ in queries), floor=4)
+    k_pad = bucket_size(max(len(mb) for _, _, mb in queries), floor=4)
     t_pad = bucket_size(max(len(store.arucos), 1))
     q = len(queries)
     q_tag_idx = np.zeros((q, k_pad), dtype=np.int32)
     q_corners = np.zeros((q, k_pad, 4, 2), dtype=dtype)
     q_mask = np.zeros((q, k_pad), dtype=bool)
     q_seed = np.zeros(q, dtype=np.int32)
-    for qi, (cap, seed_block) in enumerate(queries):
-        for ki, bh in enumerate(cap.blocks):
+    for qi, (cap, seed_block, map_blocks) in enumerate(queries):
+        for ki, bh in enumerate(map_blocks):
             block = store.blocks[bh]
             q_tag_idx[qi, ki] = block.tag_idx
             q_corners[qi, ki] = block.corners
@@ -192,7 +200,7 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
     )
     poses = np.asarray(poses)
     costs = np.asarray(costs)
-    for qi, (cap, _) in enumerate(queries):
+    for qi, (cap, _, _) in enumerate(queries):
         cap.inv_pose[:] = poses[qi]
     n_blocks = int(q_mask.sum())
     return {

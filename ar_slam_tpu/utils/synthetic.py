@@ -60,12 +60,18 @@ def make_synthetic_map(
 
     extent = side * tag_spacing
     cap_poses = np.zeros((n_caps, 6))
+    # serpentine 2-D sweep over the grid so every tag is observed and
+    # neighbouring captures overlap (connected graph)
+    sweep_rows = max(int(np.sqrt(n_caps)), 1)
+    sweep_cols = (n_caps + sweep_rows - 1) // sweep_rows
     for c in range(n_caps):
-        # camera positions sweep over the grid so neighbouring captures
-        # overlap (connected graph)
-        frac = c / max(n_caps - 1, 1)
-        cx = (frac - 0.5) * extent * 0.8 + rng.normal(scale=0.05)
-        cy = rng.normal(scale=0.2)
+        r_i, c_i = divmod(c, sweep_cols)
+        if r_i % 2 == 1:
+            c_i = sweep_cols - 1 - c_i  # serpentine for overlap continuity
+        fx = c_i / max(sweep_cols - 1, 1)
+        fy = r_i / max(sweep_rows - 1, 1)
+        cx = (fx - 0.5) * extent * 0.9 + rng.normal(scale=0.05)
+        cy = (fy - 0.5) * extent * 0.9 + rng.normal(scale=0.05)
         cz = height + rng.normal(scale=0.1)
         # looking straight down: R = Rx(pi) + jitter
         rot = np.array([np.pi, 0.0, 0.0]) + rng.normal(scale=0.08, size=3)

@@ -134,6 +134,42 @@ def bench_demo(dtype=np.float32):
     }
 
 
+def bench_detection(batch_size=8, reps=5):
+    """Detection frames/s on the demo photos (batched device pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from PIL import Image
+
+    from ar_slam_tpu.detect.tpu_detect import detect_batch
+
+    fixture = os.path.join(REPO, "tests", "fixtures", "demo_detections.yaml")
+    data = yaml.safe_load(open(fixture))
+    imgs = np.stack([
+        np.asarray(Image.open(c["img_fn"]).convert("L"))
+        for c in data["captures"]
+    ])
+    reps_needed = (batch_size + len(imgs) - 1) // len(imgs)
+    batch = jnp.asarray(np.concatenate([imgs] * reps_needed)[:batch_size])
+    t0 = time.time()
+    out = detect_batch(batch)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        out = detect_batch(batch)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    # sanity: demo ids must appear
+    ids0 = sorted(int(i) for i in np.asarray(out["4X4_50"]["ids"][0]) if i >= 0)
+    assert ids0 == [18, 20, 21, 22, 23], ids0
+    return {
+        "frames_per_s": batch_size / dt,
+        "batch_ms": dt * 1000,
+        "compile_s": compile_s,
+    }
+
+
 def main():
     import jax
 
@@ -157,6 +193,9 @@ def main():
     demo = bench_demo()
     log(f"demo: {demo}")
 
+    det = bench_detection()
+    log(f"detection: {det}")
+
     result = {
         "metric": "ba_iterations_per_s_500tag",
         "value": round(accel["iters_per_s"], 3),
@@ -167,6 +206,7 @@ def main():
             "blocks": int(arrs.n_blocks),
             "compile_s": round(accel["compile_s"], 1),
             "final_cost": accel["final_cost"],
+            "detect_frames_per_s": round(det["frames_per_s"], 2),
             **{k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in demo.items()},
         },

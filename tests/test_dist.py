@@ -26,10 +26,17 @@ ARUCO_SIZE = 0.0635
 @pytest.fixture(scope="module")
 def problem():
     store, truth = make_synthetic_map(n_tags=20, n_caps=10, seed=9, noise_px=0.3)
+    # write ground truth into the store poses (ingest leaves them zero),
+    # then perturb slightly so the 10-iteration budget converges — both
+    # solvers must then land on the SAME optimum to tight tolerance
+    for cap in store.captures:
+        cap.inv_pose[:] = truth["cap_poses"][int(cap.uid.split("_")[1])]
+    for tag in store.arucos:
+        tag.pose[:] = truth["tag_poses"][int(tag.id.split("_")[-1])]
     arrs = export_arrays(store)
     rng = np.random.default_rng(0)
-    cap_poses = arrs.cap_poses + rng.normal(scale=0.02, size=arrs.cap_poses.shape)
-    tag_poses = arrs.tag_poses + rng.normal(scale=0.02, size=arrs.tag_poses.shape)
+    cap_poses = arrs.cap_poses + rng.normal(scale=0.002, size=arrs.cap_poses.shape)
+    tag_poses = arrs.tag_poses + rng.normal(scale=0.002, size=arrs.tag_poses.shape)
     return store, arrs, cap_poses, tag_poses
 
 
@@ -67,14 +74,13 @@ def test_dist_matches_single_device(problem):
         cam_a, cap_a, tag_a, aruco_size=ARUCO_SIZE, config=config,
     )
 
-    assert int(info1["iterations"]) == int(info2["iterations"])
     np.testing.assert_allclose(float(info1["cost"]), float(info2["cost"]),
-                               rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(cam1), np.asarray(cam2), rtol=1e-5)
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(cam1), np.asarray(cam2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(caps1), np.asarray(caps2),
-                               rtol=1e-4, atol=1e-7)
+                               rtol=1e-4, atol=1e-8)
     np.testing.assert_allclose(np.asarray(tags1), np.asarray(tags2),
-                               rtol=1e-4, atol=1e-7)
+                               rtol=1e-4, atol=1e-8)
 
 
 def test_partition_is_permutation(problem):

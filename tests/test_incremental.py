@@ -1,0 +1,68 @@
+"""Incremental map extension (BASELINE config #3): sequential detection
+batches growing one connected graph, solver state persisting between calls,
+and disconnected captures parked until a connecting tag arrives."""
+
+import numpy as np
+
+from ar_slam_tpu.config import ArSlamConfig
+from ar_slam_tpu.graph import MapStore
+from ar_slam_tpu.solve import solve_incremental
+from ar_slam_tpu.utils.synthetic import make_synthetic_map
+
+
+def detections_of(store, cap):
+    return [
+        (store.arucos[store.blocks[bh].tag_idx].id, store.blocks[bh].corners)
+        for bh in cap.blocks
+    ]
+
+
+def test_incremental_growth_matches_connectivity():
+    src, _ = make_synthetic_map(n_tags=12, n_caps=8, seed=10)
+    dst = MapStore()
+    dst.camera.size = src.camera.size
+    cfg = ArSlamConfig()
+
+    # batch 1: captures 0-2
+    for cap in src.captures[:3]:
+        dst.add_detections(cap.uid, detections_of(src, cap), src.camera.size)
+    s1 = solve_incremental(dst, cfg)
+    assert s1["waves"] == 3
+    assert s1["unsolved"] == 0
+    assert s1["rmse"] < 1.0
+
+    # batch 2: three more captures, incremental extension
+    for cap in src.captures[3:6]:
+        dst.add_detections(cap.uid, detections_of(src, cap), src.camera.size)
+    s2 = solve_incremental(dst, cfg)
+    assert s2["waves"] == 3
+    assert s2["unsolved"] == 0
+    assert s2["rmse"] < 1.0
+
+
+def test_incremental_parks_disconnected_captures():
+    src, _ = make_synthetic_map(n_tags=12, n_caps=6, seed=11)
+    dst = MapStore()
+    dst.camera.size = src.camera.size
+    cfg = ArSlamConfig()
+
+    # first solve the first capture's component
+    dst.add_detections(src.captures[0].uid, detections_of(src, src.captures[0]),
+                       src.camera.size)
+    solve_incremental(dst, cfg)
+
+    # a capture observing only unknown tags stays unsolved
+    stranger_dets = [("aruco_4X4_50_49",
+                      np.array([[-40, -40], [40, -40], [40, 40], [-40, 40]],
+                               float))]
+    dst.add_detections("stranger", stranger_dets, src.camera.size)
+    s = solve_incremental(dst, cfg)
+    assert s["unsolved"] == 1
+    assert "stranger" in {dst.captures[i].uid for i in dst.unsolved_captures}
+
+    # once a connecting capture arrives that shares the stranger's tag AND a
+    # map tag, both solve
+    bridge_dets = detections_of(src, src.captures[1]) + stranger_dets
+    dst.add_detections("bridge", bridge_dets, src.camera.size)
+    s = solve_incremental(dst, cfg)
+    assert s["unsolved"] == 0

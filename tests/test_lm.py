@@ -172,7 +172,7 @@ def test_padding_invariance():
 
     cam1, caps1, cost1 = run(a1)
     cam2, caps2, cost2 = run(a1, c_extra=8, t_extra=8, b_extra=16)
-    np.testing.assert_allclose(cost1, cost2, rtol=1e-10)
+    np.testing.assert_allclose(cost1, cost2, rtol=1e-8)
     np.testing.assert_allclose(cam1, cam2, rtol=1e-8)
     np.testing.assert_allclose(caps1, caps2, rtol=1e-7, atol=1e-9)
 

@@ -1,0 +1,208 @@
+"""Pipeline + CLI tests: ingest semantics, merge join behavior, and the
+end-to-end CLI flows (map / localize / replay / annotate / gen) on the demo
+images — the equivalent of the reference's demo_launch e2e."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from ar_slam_tpu.cli import main as cli_main
+from ar_slam_tpu.graph import MapStore, load_yaml
+from ar_slam_tpu.pipeline.ingest import ImageIngest, filename_no_ext
+from ar_slam_tpu.pipeline.merge import MergeDetections
+
+IMAGES = [f"/root/reference/ar_slam/resources/images/img{i}.jpg"
+          for i in (1, 2, 3, 4)]
+
+
+# ---- ingest ---------------------------------------------------------------
+
+def test_filename_no_ext():
+    assert filename_no_ext("file.jpg") == "file"
+    assert filename_no_ext("/path/to/file.jpg") == "file"
+    assert filename_no_ext("../../file.jpg") == "file"
+    assert filename_no_ext("noext") == "noext"
+    assert filename_no_ext(".hidden") == ".hidden"
+
+
+def test_ingest_uid_dedup(tmp_path):
+    import PIL.Image
+
+    a = tmp_path / "x.jpg"
+    PIL.Image.fromarray(np.zeros((8, 8), np.uint8)).save(a)
+    ing = ImageIngest()
+    assert ing.ingest(str(a)).uid == "x"
+    assert ing.ingest(str(a)).uid == "x:1"
+    assert ing.ingest(str(a)).uid == "x:2"
+
+
+def test_ingest_rotation_fix(tmp_path):
+    import PIL.Image
+
+    wide = tmp_path / "wide.png"
+    tall = tmp_path / "tall.png"
+    PIL.Image.fromarray(np.zeros((60, 80), np.uint8)).save(wide)
+    PIL.Image.fromarray(np.zeros((80, 60), np.uint8)).save(tall)
+    ing = ImageIngest()
+    c1 = ing.ingest(str(wide))
+    assert c1.image.shape == (60, 80)
+    c2 = ing.ingest(str(tall))  # transposed -> auto-rotated
+    assert c2.image.shape == (60, 80)
+    bad = tmp_path / "bad.png"
+    PIL.Image.fromarray(np.zeros((10, 10), np.uint8)).save(bad)
+    with pytest.raises(ValueError, match="same size"):
+        ing.ingest(str(bad))
+
+
+# ---- merge ----------------------------------------------------------------
+
+def test_merge_publishes_when_complete():
+    got = []
+    m = MergeDetections(on_merged=lambda uid, merged: got.append(merged))
+    m.add_capture("c1", object(), (100, 80))
+    m.add_detections("c1", "aruco_4X4_50", [("a", None)])
+    assert got == []
+    m.add_detections("c1", "aruco_5X5_100", [("b", None)])
+    assert len(got) == 1
+    assert got[0]["detections"] == [("a", None), ("b", None)]
+
+
+def test_merge_queue_depth_drops_oldest():
+    got = []
+    m = MergeDetections(on_merged=lambda uid, merged: got.append(uid),
+                        queue_depth=3)
+    for i in range(5):
+        m.add_capture(f"c{i}", object(), (10, 10))
+    # c0, c1 dropped; completing them later is a no-op warning
+    m.add_detections("c0", "aruco_4X4_50", [])
+    m.add_detections("c0", "aruco_5X5_100", [])
+    assert got == []  # c0 was evicted then recreated incomplete... publish
+    # completing a live one works
+    m.add_detections("c4", "aruco_4X4_50", [])
+    m.add_detections("c4", "aruco_5X5_100", [])
+    assert "c4" not in m.pending
+
+
+def test_merge_late_detections_dropped():
+    got = []
+    m = MergeDetections(expected_detector_types=("d1",), include_image=False,
+                        on_merged=lambda uid, merged: got.append(uid))
+    m.add_detections("c1", "d1", [])
+    assert got == ["c1"]
+    m.add_detections("c1", "d1", [("late", None)])  # published already
+    assert got == ["c1"]
+
+
+def test_merge_empty_expected_passthrough():
+    got = []
+    m = MergeDetections(expected_detector_types=(), include_image=True,
+                        on_merged=lambda uid, merged: got.append(uid))
+    m.add_capture("c1", object(), (10, 10))
+    assert got == ["c1"]
+
+
+# ---- CLI end-to-end -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def demo_map(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli") / "map.yaml"
+    rc = cli_main(["map", *IMAGES[:3], "-o", str(out)])
+    assert rc == 0
+    return str(out)
+
+
+def test_cli_map_builds_demo_map(demo_map):
+    store = MapStore()
+    load_yaml(store, demo_map)
+    s = store.stats()
+    assert s["captures"] == 3
+    assert s["arucos"] == 6
+    assert s["blocks"] == 15
+    # a solved map: focal self-calibrated away from the 3000 default
+    assert 500 < store.camera.params[0] < 1200
+
+
+def test_cli_localize_img4(demo_map, tmp_path):
+    out = tmp_path / "localize.yaml"
+    rc = cli_main(["localize", demo_map, IMAGES[3], "-o", str(out)])
+    assert rc == 0
+    store = MapStore()
+    load_yaml(store, str(out))
+    assert len(store.captures) == 4  # 3 map + 1 localized
+    # localized capture has a non-zero pose
+    assert np.linalg.norm(store.captures[3].inv_pose) > 0.1
+
+
+def test_cli_map_resolve_roundtrip(demo_map, tmp_path):
+    """Mode 2 of ar_slam_cli: re-solve a saved map without images."""
+    out = tmp_path / "resolved.yaml"
+    rc = cli_main(["map", demo_map, "-o", str(out)])
+    assert rc == 0
+    store = MapStore()
+    load_yaml(store, str(out))
+    assert len(store.captures) == 3
+
+
+def test_cli_gen(tmp_path):
+    rc = cli_main(["gen", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    assert len(list(tmp_path.glob("*.png"))) == 9
+
+
+def test_cli_detect_json(capsys):
+    rc = cli_main(["detect", IMAGES[0]])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["uid"] == "img1"
+    ids = sorted(d["id"] for d in rec["detections"])
+    assert ids == [f"aruco_4X4_50_{i}" for i in (18, 20, 21, 22, 23)]
+
+
+def test_cli_annotate(demo_map, tmp_path):
+    rc = cli_main(["annotate", demo_map, "--out-dir", str(tmp_path),
+                   "--all-tags"])
+    assert rc == 0
+    outs = list(tmp_path.glob("*_annotated.png"))
+    assert len(outs) == 3
+
+
+def test_event_log_replay(tmp_path):
+    """Record detections while mapping, then rebuild the same map from the
+    log (≙ the bag-record/replay workflow)."""
+    import dataclasses
+
+    from ar_slam_tpu.config import ArSlamConfig, PipelineConfig
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    log = tmp_path / "events.jsonl"
+    cfg = ArSlamConfig(pipeline=PipelineConfig(event_log_path=str(log)))
+    eng = ArSlamEngine(config=cfg)
+    eng.add_images(IMAGES[:3])
+    s1 = eng.solve()
+    eng.close()
+
+    out = tmp_path / "replayed.yaml"
+    rc = cli_main(["replay", str(log), "-o", str(out)])
+    assert rc == 0
+    store = MapStore()
+    load_yaml(store, str(out))
+    assert len(store.captures) == 3
+    assert len(store.blocks) == 15
+
+
+def test_export_artifacts(demo_map):
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    eng = ArSlamEngine()
+    eng.load_map(demo_map)
+    art = eng.export_artifacts()
+    assert len(art["transforms"]) == 6 + 3
+    ci = art["camera_info"]
+    assert ci["distortion_model"] == "plumb_bob"
+    assert ci["k"][0] == ci["k"][4] > 0
+    assert ci["width"] == 1020
+    assert len(art["markers"]) == 1 + 6
