@@ -91,11 +91,30 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             lin_fn, quality_fn, config: LMConfig):
-    """Generic LM loop over block-parallel hooks.  Runs inside jit."""
+    """Generic LM loop over block-parallel hooks.  Runs inside jit.
+
+    The linearization (residuals + Jacobian blocks + assembled normal
+    equations) is carried in the loop state and recomputed ONLY when a step
+    is accepted — rejected iterations re-solve the damped system with a new
+    lambda at roughly half the cost (standard LM engineering; ceres does the
+    same via its evaluated-jacobian cache).
+    """
     dtype = cap_poses.dtype
 
-    def body(state: LMState) -> LMState:
-        eqs, _, aux = lin_fn(state.camera, state.cap_poses, state.tag_poses)
+    eqs0, cost0, aux0 = lin_fn(camera, cap_poses, tag_poses)
+    state0 = LMState(
+        camera=camera.astype(dtype),
+        cap_poses=cap_poses,
+        tag_poses=tag_poses,
+        lam=jnp.asarray(config.initial_lambda, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        cost=cost0,
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+    )
+
+    def body(carry):
+        state, eqs, aux = carry
         d_cam, d_cap, d_tag = schur_solve(
             eqs, state.lam, cam_active, cap_active, tag_active,
             jacobi_scaling=config.jacobi_scaling,
@@ -134,7 +153,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         stalled = ~accept & (state.lam >= config.stall_lambda)
         converged = (accept & (f_conv | p_conv)) | stalled
 
-        return LMState(
+        new_state = LMState(
             camera=jnp.where(accept, new_camera, state.camera),
             cap_poses=jnp.where(accept, new_caps, state.cap_poses),
             tag_poses=jnp.where(accept, new_tags, state.tag_poses),
@@ -145,27 +164,28 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             converged=converged,
         )
 
-    def cond(state: LMState):
+        # relinearize only on accepted (and not-yet-converged) steps
+        def do_lin(_):
+            eqs2, _, aux2 = lin_fn(new_camera, new_caps, new_tags)
+            return eqs2, aux2
+
+        def keep(_):
+            return eqs, aux
+
+        eqs_n, aux_n = jax.lax.cond(accept & ~converged, do_lin, keep, None)
+        return new_state, eqs_n, aux_n
+
+    def cond(carry):
+        state = carry[0]
         return (state.iteration < config.max_iterations) & ~state.converged
 
-    _, cost0, _ = lin_fn(camera, cap_poses, tag_poses)
-    init = LMState(
-        camera=camera.astype(dtype),
-        cap_poses=cap_poses,
-        tag_poses=tag_poses,
-        lam=jnp.asarray(config.initial_lambda, dtype),
-        nu=jnp.asarray(2.0, dtype),
-        cost=cost0,
-        iteration=jnp.asarray(0, jnp.int32),
-        converged=jnp.asarray(False),
-    )
-    final = jax.lax.while_loop(cond, body, init)
+    final, _, _ = jax.lax.while_loop(cond, body, (state0, eqs0, aux0))
     info = {
         "cost": final.cost,
         "iterations": final.iteration,
         "lambda": final.lam,
         "converged": final.converged,
-        "initial_cost": init.cost,
+        "initial_cost": state0.cost,
     }
     return final.camera, final.cap_poses, final.tag_poses, info
 
