@@ -186,6 +186,18 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+def cmd_scene(args) -> int:
+    """Render the 3-D map scene (≙ the Foxglove 3D panel, headless)."""
+    from ar_slam_tpu.graph import MapStore, load_yaml
+    from ar_slam_tpu.viz.scene import render_scene
+
+    store = MapStore()
+    load_yaml(store, args.map)
+    out = render_scene(store, args.output)
+    print(out)
+    return 0
+
+
 def _config(args):
     from ar_slam_tpu.config import ArSlamConfig, SolverConfig, CameraConfig
     import dataclasses
@@ -260,6 +272,11 @@ def main(argv=None) -> int:
     sp.add_argument("--out-dir", default="annotated")
     sp.add_argument("--all-tags", action="store_true")
     sp.set_defaults(fn=cmd_annotate)
+
+    sp = sub.add_parser("scene", help="render the 3-D map scene to PNG")
+    sp.add_argument("map")
+    sp.add_argument("-o", "--output", default="scene.png")
+    sp.set_defaults(fn=cmd_scene)
 
     args = p.parse_args(argv)
     return args.fn(args)
