@@ -1,18 +1,24 @@
-"""Pallas TPU kernel: connected-component labeling resident in VMEM.
+"""Pallas TPU kernels: connected-component labeling propagation.
 
-The XLA implementation (tpu_detect.connected_components) round-trips the
-3 MB label image through HBM ~50 times (4 segmented scans + min-pool per
-iteration).  A 768x1024 int32 image fits comfortably in VMEM, so this
-kernel loads the binary mask ONCE, runs every propagation iteration
-on-chip, and stores the final labels ONCE.
+The XLA implementation (tpu_detect.connected_components) lowers each
+log-doubling step of the segmented scans as separate HBM-level ops
+(~240 MB of HBM traffic per iteration for a 768x1024 image).  These kernels
+run a whole scan — all ~10 doubling steps — inside VMEM per tile:
 
-Propagation per iteration (identical semantics to the XLA version):
-  - separable 3x3 min-pool over foreground (8-connectivity diagonal links)
-  - full-run segmented min along rows and columns in both directions via
-    log-step doubling: maintain (val, reach) where reach[i] says the last
-    2^k cells ending at i are all foreground; combine with shifted copies.
+- row kernel: tiles of full rows; segmented min over each foreground run
+  along the row axis (both directions), doubling in-register.
+- col kernel: tiles of full columns; same along the column axis.
 
-Shifts are static pad+slice (lane/sublane shuffles on TPU).
+Rows are independent for row scans (and columns for column scans), so the
+tiles need no halo exchange.  The 3x3 min-pool between scans (diagonal
+links of 8-connectivity) stays an XLA reduce_window (single fused pass).
+
+Per CCL iteration: 2 pallas calls + 1 pool ≈ 24 MB HBM traffic vs ~240 MB
+for the pure-XLA path.
+
+Foreground is encoded in the labels themselves (label < BIG), so the
+kernels take only the label image.  Masks are int32 — Mosaic cannot pad i1
+vectors — and loops over doubling steps are unrolled only log2(axis) times.
 """
 
 from __future__ import annotations
@@ -35,23 +41,22 @@ def _shift(x, delta, axis, fill):
         return x
     size = x.shape[axis]
     pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
     if delta > 0:
         pad[axis] = (delta, 0)
-        sl = [slice(None)] * x.ndim
         sl[axis] = slice(0, size)
     else:
         pad[axis] = (0, -delta)
-        sl = [slice(None)] * x.ndim
         sl[axis] = slice(-delta, size - delta)
     return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
 
-def _run_min_scan(labels, fg_i32, axis):
+def _run_min_scan(labels, axis):
     """Segmented min over each full foreground run along ``axis`` (both
-    directions) via log-step doubling.  Masks are int32 0/1 — Mosaic cannot
-    pad i1 vectors."""
+    directions) via log-step doubling; foreground = label < BIG."""
     size = labels.shape[axis]
     steps = int(np.ceil(np.log2(size)))
+    fg_i32 = (labels < BIG).astype(jnp.int32)
     for direction in (+1, -1):
         val = labels
         reach = fg_i32
@@ -65,62 +70,84 @@ def _run_min_scan(labels, fg_i32, axis):
     return labels
 
 
-def _ccl_compute(fg_i32, iters: int, h: int, w: int):
-    """The propagation body (shared by the pallas kernel and tests).
-    ``fg_i32``: int32 0/1 foreground mask."""
-    fg = fg_i32 > 0
-    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
-        jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    labels = jnp.where(fg, idx, BIG)
-
-    def one_iter(_, labels):
-        # separable 3x3 min-pool (8-connectivity), foreground only
-        m = jnp.minimum(jnp.minimum(labels, _shift(labels, 1, 1, BIG)),
-                        _shift(labels, -1, 1, BIG))
-        m = jnp.minimum(jnp.minimum(m, _shift(m, 1, 0, BIG)),
-                        _shift(m, -1, 0, BIG))
-        labels = jnp.where(fg, jnp.minimum(labels, m), BIG)
-        labels = _run_min_scan(labels, fg_i32, axis=1)
-        labels = _run_min_scan(labels, fg_i32, axis=0)
-        return labels
-
-    # fori_loop: the body is iteration-invariant, so Mosaic compiles it once
-    # instead of unrolling iters copies
-    return jax.lax.fori_loop(0, iters, one_iter, labels)
+def _row_kernel(l_ref, o_ref):
+    o_ref[...] = _run_min_scan(l_ref[...], axis=l_ref.ndim - 1)
 
 
-def _kernel(binary_ref, out_ref, *, iters: int, h: int, w: int):
-    out_ref[:] = _ccl_compute(binary_ref[:], iters, h, w)
+def _col_kernel(l_ref, o_ref):
+    o_ref[...] = _run_min_scan(l_ref[...], axis=l_ref.ndim - 2)
+
+
+def _scan_pass(labels, axis, row_strip=128, col_strip=256, interpret=False):
+    """One full segmented-scan pass over the batch via a tiled kernel.
+
+    labels: (N, H, W) int32.
+    """
+    n, h, w = labels.shape
+    if axis == 2:  # rows
+        strips = -(-h // row_strip)
+        block = (1, row_strip, w)
+        index_map = lambda i, j: (i, j, 0)  # noqa: E731
+        kernel = _row_kernel
+        grid = (n, strips)
+    else:  # columns
+        strips = -(-w // col_strip)
+        block = (1, h, col_strip)
+        index_map = lambda i, j: (i, 0, j)  # noqa: E731
+        kernel = _col_kernel
+        grid = (n, strips)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(labels.shape, jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(labels)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def connected_components_pallas(binary, iters: int = 8,
-                                interpret: bool = False):
+def connected_components_pallas_batch(binary, iters: int = 8,
+                                      interpret: bool = False):
     """Label foreground pixels with the min linear index of their
-    8-connected component; background gets BIG.  Whole image resident in
-    VMEM for all iterations.
+    8-connected component; background gets BIG.
 
     Args:
-      binary: (H, W) bool; W should be lane-friendly (multiple of 128 after
-        internal padding).
+      binary: (N, H, W) bool.
     """
-    h, w = binary.shape
+    n, h, w = binary.shape
     w_pad = -(-w // 128) * 128
     h_pad = -(-h // 8) * 8
-    x = jnp.zeros((h_pad, w_pad), jnp.int32)
-    x = x.at[:h, :w].set(binary.astype(jnp.int32))
+    fg = jnp.zeros((n, h_pad, w_pad), bool)
+    fg = fg.at[:, :h, :w].set(binary)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, iters=iters, h=h_pad, w=w_pad),
-        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x)
-    # padded linear indices use the padded width; remap to true-width
-    # indices so downstream (sorting, extreme points) sees consistent ids
-    out = out[:h, :w]
-    row = jnp.where(out == BIG, 0, out) // w_pad
-    col = jnp.where(out == BIG, 0, out) % w_pad
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 0) * w_pad
+           + jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 1))
+    labels = jnp.where(fg, idx[None], BIG)
+
+    def one_iter(_, labels):
+        # 3x3 min-pool (8-connectivity diagonal links) — one fused XLA pass
+        neigh = -jax.lax.reduce_window(
+            -labels, -BIG, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+        )
+        labels = jnp.where(fg, jnp.minimum(labels, neigh), BIG)
+        labels = _scan_pass(labels, axis=2, interpret=interpret)
+        labels = _scan_pass(labels, axis=1, interpret=interpret)
+        return labels
+
+    labels = jax.lax.fori_loop(0, iters, one_iter, labels)
+
+    # remap padded-width linear indices to true-width ids
+    labels = labels[:, :h, :w]
+    row = jnp.where(labels == BIG, 0, labels) // w_pad
+    col = jnp.where(labels == BIG, 0, labels) % w_pad
     remapped = row * w + jnp.minimum(col, w - 1)
-    return jnp.where(out == BIG, jnp.int32(2**30), remapped.astype(jnp.int32))
+    return jnp.where(labels == BIG, jnp.int32(2**30),
+                     remapped.astype(jnp.int32))
+
+
+def connected_components_pallas(binary, iters: int = 8,
+                                interpret: bool = False):
+    """Single-image convenience wrapper around the batched kernel."""
+    return connected_components_pallas_batch(binary[None], iters=iters,
+                                             interpret=interpret)[0]
