@@ -39,7 +39,8 @@ BIG = jnp.int32(2**30)
 
 
 class DetectParams(NamedTuple):
-    win: int = 23
+    win: int = 23  # back-compat single window; win_sizes wins if set
+    win_sizes: tuple = ()  # multi-scale thresholds (≙ cv2 win size sweep)
     thresh_c: float = 7.0
     max_candidates: int = 32
     ccl_iters: int = 8
@@ -402,41 +403,57 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
     """
     tables = make_tables(dict_names)
     images = images.astype(jnp.float32)
+    windows = tuple(params.win_sizes) or (params.win,)
 
-    # threshold + CCL run batched OUTSIDE the per-image vmap so the pallas
-    # CCL kernels (grid over the batch) can be used — 2000x faster than the
-    # XLA scan lowering on TPU (0.1 ms vs 233 ms for a batch of 8)
-    binary_b = jax.vmap(
-        lambda g: adaptive_threshold(g, params.win, params.thresh_c)
-    )(images)
     use_pallas = params.ccl_backend == "pallas" or (
         params.ccl_backend == "auto"
         and jax.default_backend() not in ("cpu",)
     )
-    if use_pallas:
-        from ar_slam_tpu.detect.pallas_ccl import (
-            connected_components_pallas_batch,
-        )
 
-        labels_b = connected_components_pallas_batch(
-            binary_b, iters=params.ccl_iters
-        )
-    else:
-        labels_b = jax.vmap(
-            lambda b: connected_components(b, params.ccl_iters)
-        )(binary_b)
+    # threshold + CCL run batched OUTSIDE the per-image vmap so the pallas
+    # CCL kernels (grid over the batch) can be used — 2000x faster than the
+    # XLA scan lowering on TPU (0.1 ms vs 233 ms for a batch of 8).
+    # Multi-window sweep: candidates from every window size concatenate
+    # along the K axis and duplicates suppress after decode.
+    quads_all, valid_all = [], []
+    for win in windows:
+        binary_b = jax.vmap(
+            lambda g: adaptive_threshold(g, win, params.thresh_c)
+        )(images)
+        if use_pallas:
+            from ar_slam_tpu.detect.pallas_ccl import (
+                connected_components_pallas_batch,
+            )
 
-    def per_image(gray, binary, labels):
-        quads, areas, valid = extract_candidates(binary, labels, params)
+            labels_b = connected_components_pallas_batch(
+                binary_b, iters=params.ccl_iters
+            )
+        else:
+            labels_b = jax.vmap(
+                lambda b: connected_components(b, params.ccl_iters)
+            )(binary_b)
+        q, _, v = jax.vmap(
+            lambda bb, ll: extract_candidates(bb, ll, params)
+        )(binary_b, labels_b)
+        quads_all.append(q)
+        valid_all.append(v)
+    quads_b = jnp.concatenate(quads_all, axis=1)  # (N, K*W, 4, 2)
+    valid_b = jnp.concatenate(valid_all, axis=1)
+
+    def per_image(gray, quads, valid):
+        # subpixel-refine once on the shared candidate quads (before decode:
+        # better bit sampling, and not repeated per dictionary)
+        if params.refine:
+            quads = refine_corners_batch(
+                gray, quads, params.refine_win, params.refine_iters
+            )
         out = {}
         for name in dict_names:
             mid, rot, corners, ok = decode_candidates(
                 gray, quads, valid, name, params, tables
             )
-            if params.refine:
-                corners = refine_corners_batch(
-                    gray, corners, params.refine_win, params.refine_iters
-                )
+            if len(windows) > 1:
+                ok = _suppress_duplicates(mid, corners, ok)
             out[name] = {
                 "ids": jnp.where(ok, mid, -1),
                 "corners": corners,
@@ -444,4 +461,26 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
             }
         return out
 
-    return jax.vmap(per_image)(images, binary_b, labels_b)
+    return jax.vmap(per_image)(images, quads_b, valid_b)
+
+
+def _suppress_duplicates(ids, corners, ok):
+    """Drop repeated detections of the same marker from different threshold
+    windows: keep the largest-perimeter instance (cv2 keeps the bigger
+    candidate too)."""
+    centers = corners.mean(axis=1)  # (K, 2)
+    perim = jnp.linalg.norm(
+        corners - jnp.roll(corners, -1, axis=1), axis=-1
+    ).sum(axis=1)  # (K,)
+    k = ids.shape[0]
+    same = (ids[:, None] == ids[None, :]) & ok[:, None] & ok[None, :]
+    dist = jnp.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
+    close = dist < 0.5 * jnp.minimum(perim[:, None], perim[None, :]) / 4.0
+    dup = same & close & ~jnp.eye(k, dtype=bool)
+    # j beats i if larger perimeter, or equal perimeter and lower index
+    beats = dup & (
+        (perim[None, :] > perim[:, None])
+        | ((perim[None, :] == perim[:, None])
+           & (jnp.arange(k)[None, :] < jnp.arange(k)[:, None]))
+    )
+    return ok & ~beats.any(axis=1)

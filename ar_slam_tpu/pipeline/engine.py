@@ -120,6 +120,7 @@ class ArSlamEngine:
             dcfg = self.config.detect
             params = DetectParams(
                 win=dcfg.adaptive_thresh_win_sizes[0],
+                win_sizes=tuple(dcfg.adaptive_thresh_win_sizes),
                 thresh_c=dcfg.adaptive_thresh_constant,
                 max_candidates=dcfg.max_candidates,
                 min_corner_distance_rate=dcfg.min_corner_distance_rate,

@@ -111,6 +111,19 @@ def test_demo_batch_id_parity():
             assert got == oracle, (cap["uid"], name, got, oracle)
 
 
+def test_multi_window_dedup():
+    """Two threshold windows produce the same markers once (duplicate
+    suppression keeps one instance per marker)."""
+    data, imgs = demo_images()
+    out = detect_batch(jnp.asarray(imgs[:1]),
+                       params=DetectParams(win_sizes=(23, 13)),
+                       dict_names=("4X4_50",))
+    ids = np.asarray(out["4X4_50"]["ids"][0])
+    valid = np.asarray(out["4X4_50"]["valid"][0])
+    got = sorted(int(i) for i in ids[valid])
+    assert got == [18, 20, 21, 22, 23], got  # each exactly once
+
+
 def test_demo_own_detections_map_quality():
     """Full TPU-native front end + solver: map RMSE from OUR detections must
     be sub-0.4px (beats the cv2-fixture 0.46px)."""
