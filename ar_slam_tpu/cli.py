@@ -111,17 +111,27 @@ def cmd_serve(args) -> int:
     if args.map and os.path.exists(args.map):
         engine.load_map(args.map)
     seen = set()
+    server = None
+    if args.listen:
+        from ar_slam_tpu.pipeline.service import LoadImagesServer
+
+        server = LoadImagesServer(args.listen)
+        print(f"load_images service on {args.listen}")
     try:
-        if args.watch:
-            print(f"watching {args.watch} (ctrl-c to stop)")
+        if args.watch or server is not None:
+            if args.watch:
+                print(f"watching {args.watch} (ctrl-c to stop)")
             while True:
                 batch = []
-                for fn in sorted(os.listdir(args.watch)):
-                    p = os.path.join(args.watch, fn)
-                    if p not in seen and fn.lower().endswith(
-                            (".jpg", ".jpeg", ".png")):
-                        seen.add(p)
-                        batch.append(p)
+                if args.watch:
+                    for fn in sorted(os.listdir(args.watch)):
+                        p = os.path.join(args.watch, fn)
+                        if p not in seen and fn.lower().endswith(
+                                (".jpg", ".jpeg", ".png")):
+                            seen.add(p)
+                            batch.append(p)
+                if server is not None:
+                    batch.extend(server.pop_batch())
                 if batch:
                     engine.add_images(batch)
                     s = engine.solve_incremental()
@@ -138,10 +148,25 @@ def cmd_serve(args) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        if server is not None:
+            server.close()
         if args.output:
             engine.save_map(args.output)
         engine.close()
     return 0
+
+
+def cmd_load_images(args) -> int:
+    """Send filenames to a running ``arslam serve --listen`` instance
+    (≙ load_images_client, ar_slam_module.py:8-20)."""
+    from ar_slam_tpu.pipeline.service import send_load_images
+
+    if not args.inputs:
+        print("error: no image filenames given", file=sys.stderr)
+        return 1
+    resp = send_load_images(args.sock, args.inputs)
+    print(resp.get("message", ""))
+    return 0 if resp.get("success") else 1
 
 
 def cmd_replay(args) -> int:
@@ -186,6 +211,23 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Per-block reprojection audit (≙ compareProjections,
+    ar_slam_util.cpp:576-589): worst blocks first."""
+    from ar_slam_tpu.graph import MapStore, load_yaml
+    from ar_slam_tpu.utils.audit import compare_projections, format_audit
+
+    store = MapStore()
+    load_yaml(store, args.map)
+    rows = compare_projections(store)
+    if args.json:
+        for d in rows:
+            print(json.dumps(d))
+    else:
+        print(format_audit(rows, limit=args.limit))
+    return 0
+
+
 def cmd_scene(args) -> int:
     """Render the 3-D map scene (≙ the Foxglove 3D panel, headless)."""
     from ar_slam_tpu.graph import MapStore, load_yaml
@@ -209,6 +251,11 @@ def _config(args):
             solver=dataclasses.replace(cfg.solver, seed_mode="frontal"),
             camera=dataclasses.replace(cfg.camera, focal_init_mode="fixed"),
         )
+    n_dev = getattr(args, "devices", 0)
+    if n_dev and n_dev > 1:
+        cfg = dataclasses.replace(
+            cfg, dist=dataclasses.replace(cfg.dist, num_devices=n_dev)
+        )
     return cfg
 
 
@@ -228,6 +275,9 @@ def main(argv=None) -> int:
         sp.add_argument("--parity", action="store_true",
                         help="reference-parity mode: fixed focal init 3000 "
                              "+ frontal-only seeding")
+        sp.add_argument("--devices", type=int, default=0,
+                        help="shard the solve over N devices (distributed "
+                             "BA over a 'blocks' mesh); 0/1 = single device")
 
     sp = sub.add_parser("map", help="batch mapping (≙ ar_slam_cli)")
     sp.add_argument("inputs", nargs="+",
@@ -258,8 +308,18 @@ def main(argv=None) -> int:
     sp.add_argument("-o", "--output", default="map.yaml")
     sp.add_argument("--watch", default="", help="directory to watch")
     sp.add_argument("--poll", type=float, default=0.5)
+    sp.add_argument("--listen", default="",
+                    help="unix socket path for the load_images service "
+                         "(clients: arslam load-images --sock PATH img...)")
     common(sp)
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("load-images",
+                        help="send images to a running serve instance "
+                             "(≙ load_images_client)")
+    sp.add_argument("inputs", nargs="*", help="image filenames")
+    sp.add_argument("--sock", default="/tmp/arslam.sock")
+    sp.set_defaults(fn=cmd_load_images)
 
     sp = sub.add_parser("replay", help="rebuild a map from an event log")
     sp.add_argument("log")
@@ -272,6 +332,15 @@ def main(argv=None) -> int:
     sp.add_argument("--out-dir", default="annotated")
     sp.add_argument("--all-tags", action="store_true")
     sp.set_defaults(fn=cmd_annotate)
+
+    sp = sub.add_parser("audit", help="per-block reprojection audit "
+                                      "(≙ compareProjections)")
+    sp.add_argument("map")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="show the N worst blocks (0 = all)")
+    sp.add_argument("--json", action="store_true",
+                    help="one JSON object per block instead of the table")
+    sp.set_defaults(fn=cmd_audit)
 
     sp = sub.add_parser("scene", help="render the 3-D map scene to PNG")
     sp.add_argument("map")

@@ -95,6 +95,40 @@ def make_dist_block_hooks(mesh, cap_idx, tag_idx, corners, block_mask,
     return lin_fn, quality_fn
 
 
+def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
+                          seed_mode: str = "hybrid"):
+    """Build a jitted distributed wave solver (seeding prologue + LM).
+
+    Mirrors ``solve.batch.solve_wave`` but with the block axis sharded over
+    ``mesh``: the seed gathers run under jit on the sharded tables (XLA
+    inserts the tiny collective), then the LM loop uses the shard_map hooks
+    whose normal-equation reductions psum over ICI.  Created once per
+    _WaveRunner; re-used across waves so the program compiles once per
+    padded-size bucket.
+    """
+
+    @jax.jit
+    def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+            block_mask, cam_active, cap_active, tag_active,
+            seed_cap, seed_block, tag_init_blocks):
+        from ar_slam_tpu.solve.batch import apply_wave_seeds
+
+        n_caps = cap_poses.shape[0]
+        n_tags = tag_poses.shape[0]
+        cap_poses, tag_poses = apply_wave_seeds(
+            camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+            seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
+        )
+        lin_fn, quality_fn = make_dist_block_hooks(
+            mesh, cap_idx, tag_idx, corners, block_mask, aruco_size,
+            n_caps, n_tags,
+        )
+        return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
+                       tag_active, lin_fn, quality_fn, config)
+
+    return run
+
+
 def lm_solve_dist(
     mesh,
     camera,

@@ -32,36 +32,19 @@ from ar_slam_tpu.solve.lm import LMConfig, lm_solve
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit,
-         static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode"))
-def solve_wave(
-    camera,
-    cap_poses,
-    tag_poses,
-    cap_idx,
-    tag_idx,
-    corners,
-    block_mask,
-    cam_active,
-    cap_active,
-    tag_active,
-    seed_cap,
-    seed_block,
-    tag_init_blocks,
-    *,
-    aruco_size: float,
-    config: LMConfig,
-    assemble_fn=None,
-    seed_mode: str = "hybrid",
-):
-    """One solver wave: optional capture seeding + lazy tag init + full LM.
+def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+                     seed_cap, seed_block, tag_init_blocks, aruco_size,
+                     seed_mode):
+    """Wave prologue (traceable): optional capture seeding + lazy tag init.
 
     Args:
       seed_cap: () int32 — capture index to (re)seed.
-      seed_block: () int32 — block to seed it from, or -1 to keep its pose
-        (the BFS root keeps whatever pose it has, ar_slam_util.cpp:803-807).
-      tag_init_blocks: (T,) int32 — per tag, the block index to initialize
+      seed_block: () int32 — block row to seed it from, or -1 to keep its
+        pose (the BFS root keeps whatever pose it has,
+        ar_slam_util.cpp:803-807).
+      tag_init_blocks: (T,) int32 — per tag, the block row to initialize
         its pose from (through the freshly seeded capture), or -1 to keep.
+    Returns (cap_poses, tag_poses) with seeds applied.
     """
 
     def seed_pose(cp):
@@ -87,7 +70,36 @@ def solve_wave(
     tag_poses = jax.vmap(seed_tag)(
         jnp.arange(tag_poses.shape[0], dtype=jnp.int32), tag_init_blocks
     )
+    return cap_poses, tag_poses
 
+
+@partial(jax.jit,
+         static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode"))
+def solve_wave(
+    camera,
+    cap_poses,
+    tag_poses,
+    cap_idx,
+    tag_idx,
+    corners,
+    block_mask,
+    cam_active,
+    cap_active,
+    tag_active,
+    seed_cap,
+    seed_block,
+    tag_init_blocks,
+    *,
+    aruco_size: float,
+    config: LMConfig,
+    assemble_fn=None,
+    seed_mode: str = "hybrid",
+):
+    """One solver wave: optional capture seeding + lazy tag init + full LM."""
+    cap_poses, tag_poses = apply_wave_seeds(
+        camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+        seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
+    )
     return lm_solve(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners, block_mask,
         cam_active, cap_active, tag_active,
@@ -125,33 +137,78 @@ def _lm_config(cfg) -> LMConfig:
 
 
 class _WaveRunner:
-    """Keeps device-resident pose state across waves over one padded export."""
+    """Keeps device-resident pose state across waves over one padded export.
+
+    With ``mesh`` set, block tables are partitioned (locality-preserving
+    permutation), padded to the mesh size, and sharded on the leading axis;
+    each wave then runs the distributed LM (psum-reduced normal equations
+    over ICI) instead of the single-device program.  Pose state stays
+    replicated on the mesh between waves.
+    """
 
     def __init__(self, store: MapStore, solver_cfg, aruco_size, dtype,
-                 assemble_fn=None):
+                 assemble_fn=None, mesh=None):
         self.store = store
         self.aruco_size = aruco_size
         self.config = _lm_config(solver_cfg)
         self.seed_mode = getattr(solver_cfg, "seed_mode", "hybrid")
         self.assemble_fn = assemble_fn
+        self.mesh = mesh
         arrs = export_arrays(store, dtype=dtype)
         self.arrs = arrs
-        self.camera = jnp.asarray(arrs.camera)
-        self.cap_poses = jnp.asarray(arrs.cap_poses)
-        self.tag_poses = jnp.asarray(arrs.tag_poses)
-        self.cap_idx = jnp.asarray(arrs.cap_idx)
-        self.tag_idx = jnp.asarray(arrs.tag_idx)
-        self.corners = jnp.asarray(arrs.corners)
-        self.block_mask_all = arrs.block_mask  # numpy; per-wave subset sent
         self.c_pad = arrs.cap_poses.shape[0]
         self.t_pad = arrs.tag_poses.shape[0]
-        # host-side solver state
+        b_pad = arrs.block_mask.shape[0]
+        # block row lookup: store block index -> device row (identity for
+        # the single-device path; partition permutation for the mesh path)
+        self.row_of_block = np.arange(b_pad, dtype=np.int32)
+        if mesh is None:
+            self.camera = jnp.asarray(arrs.camera)
+            self.cap_poses = jnp.asarray(arrs.cap_poses)
+            self.tag_poses = jnp.asarray(arrs.tag_poses)
+            self.cap_idx = jnp.asarray(arrs.cap_idx)
+            self.tag_idx = jnp.asarray(arrs.tag_idx)
+            self.corners = jnp.asarray(arrs.corners)
+            self._dist_wave = None
+        else:
+            from ar_slam_tpu.parallel.dist_lm import make_dist_wave_solver
+            from ar_slam_tpu.parallel.mesh import (
+                pad_blocks_to_multiple, replicate, shard_blocks,
+            )
+            from ar_slam_tpu.parallel.partition import partition_blocks
+
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            perm = partition_blocks(
+                arrs.cap_idx, arrs.tag_idx, arrs.block_mask, n_dev
+            )
+            self.row_of_block = np.empty(b_pad, dtype=np.int32)
+            self.row_of_block[perm] = np.arange(b_pad, dtype=np.int32)
+            blocks = pad_blocks_to_multiple(
+                {
+                    "cap_idx": arrs.cap_idx[perm],
+                    "tag_idx": arrs.tag_idx[perm],
+                    "corners": arrs.corners[perm],
+                },
+                n_dev,
+            )
+            self.b_dist = blocks["cap_idx"].shape[0]
+            self.cap_idx, self.tag_idx, self.corners = shard_blocks(
+                mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"]
+            )
+            self.camera, self.cap_poses, self.tag_poses = replicate(
+                mesh, arrs.camera, arrs.cap_poses, arrs.tag_poses
+            )
+            self._dist_wave = make_dist_wave_solver(
+                mesh, aruco_size=aruco_size, config=self.config,
+                seed_mode=self.seed_mode,
+            )
+            self._shard_mask = lambda m: shard_blocks(mesh, m)[0]
+            self._replicate = lambda *a: replicate(mesh, *a)
+        # host-side solver state (store-index order)
         self.active_caps: set[int] = set()
         self.active_blocks = np.zeros_like(arrs.block_mask)
         self.tag_initialized = np.zeros(self.t_pad, dtype=bool)
         self.active_tags = np.zeros(self.t_pad, dtype=bool)
-        # block row lookup: store block index -> padded row (identity here
-        # because export keeps order)
         self.last_info = None
 
     def run_wave(self, cap_index: int, seed_block: int | None):
@@ -168,29 +225,49 @@ class _WaveRunner:
             self.active_tags[t] = True
             if not self.tag_initialized[t]:
                 self.tag_initialized[t] = True
-                tag_init_blocks[t] = bh
+                tag_init_blocks[t] = self.row_of_block[bh]
 
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
+        seed_row = -1 if seed_block is None else int(
+            self.row_of_block[seed_block]
+        )
 
         # NOTE: active_blocks / active_tags are mutated in place across
         # waves while dispatch is async; jnp.asarray on CPU may alias the
         # host buffer zero-copy, so hand the device an immutable copy.
-        (self.camera, self.cap_poses, self.tag_poses, info) = solve_wave(
-            self.camera, self.cap_poses, self.tag_poses,
-            self.cap_idx, self.tag_idx, self.corners,
-            jnp.asarray(self.active_blocks.copy()),
-            jnp.asarray(True),
-            jnp.asarray(cap_active),
-            jnp.asarray(self.active_tags.copy()),
-            jnp.asarray(cap_index, jnp.int32),
-            jnp.asarray(-1 if seed_block is None else seed_block, jnp.int32),
-            jnp.asarray(tag_init_blocks),
-            aruco_size=self.aruco_size,
-            config=self.config,
-            assemble_fn=self.assemble_fn,
-            seed_mode=self.seed_mode,
-        )
+        if self._dist_wave is None:
+            (self.camera, self.cap_poses, self.tag_poses, info) = solve_wave(
+                self.camera, self.cap_poses, self.tag_poses,
+                self.cap_idx, self.tag_idx, self.corners,
+                jnp.asarray(self.active_blocks.copy()),
+                jnp.asarray(True),
+                jnp.asarray(cap_active),
+                jnp.asarray(self.active_tags.copy()),
+                jnp.asarray(cap_index, jnp.int32),
+                jnp.asarray(seed_row, jnp.int32),
+                jnp.asarray(tag_init_blocks),
+                aruco_size=self.aruco_size,
+                config=self.config,
+                assemble_fn=self.assemble_fn,
+                seed_mode=self.seed_mode,
+            )
+        else:
+            mask = np.zeros(self.b_dist, dtype=bool)
+            mask[self.row_of_block[np.nonzero(self.active_blocks)[0]]] = True
+            (cam_a, cap_a, tag_a, seed_c, seed_b, tib) = self._replicate(
+                np.asarray(True), cap_active, self.active_tags.copy(),
+                np.asarray(cap_index, np.int32),
+                np.asarray(seed_row, np.int32), tag_init_blocks,
+            )
+            (self.camera, self.cap_poses, self.tag_poses, info) = (
+                self._dist_wave(
+                    self.camera, self.cap_poses, self.tag_poses,
+                    self.cap_idx, self.tag_idx, self.corners,
+                    self._shard_mask(mask),
+                    cam_a, cap_a, tag_a, seed_c, seed_b, tib,
+                )
+            )
         self.last_info = info
         return info
 
@@ -205,15 +282,31 @@ class _WaveRunner:
             )
 
 
-def solve(store: MapStore, config=None, dtype=None, assemble_fn=None) -> dict:
+def _resolve_mesh(mesh, config):
+    """mesh arg wins; else config.dist.num_devices > 1 builds a block mesh."""
+    if mesh is not None:
+        return mesh
+    n = getattr(getattr(config, "dist", None), "num_devices", 0)
+    if n and n > 1:
+        from ar_slam_tpu.parallel.mesh import block_mesh
+
+        return block_mesh(n)
+    return None
+
+
+def solve(store: MapStore, config=None, dtype=None, assemble_fn=None,
+          mesh=None) -> dict:
     """Batch BFS solve (≙ ArSlamSolver::solve).
 
+    With ``mesh`` (or config.dist.num_devices > 1) the per-wave LM runs
+    distributed with the observation axis sharded over the mesh.
     Returns a summary dict (final cost, waves, rmse).
     """
     from ar_slam_tpu.config import ArSlamConfig
 
     config = config or ArSlamConfig()
     dtype = dtype or _default_dtype(config)
+    mesh = _resolve_mesh(mesh, config)
     if not store.captures:
         return {"waves": 0}
     _maybe_calibrate_focal(store, config)
@@ -231,7 +324,7 @@ def solve(store: MapStore, config=None, dtype=None, assemble_fn=None) -> dict:
         )
 
     runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
-                         assemble_fn)
+                         assemble_fn, mesh=mesh)
     for cap_index in order:
         seed_block = None
         if cap_index != seed:
@@ -249,7 +342,7 @@ def solve(store: MapStore, config=None, dtype=None, assemble_fn=None) -> dict:
 
 
 def solve_incremental(store: MapStore, config=None, dtype=None,
-                      assemble_fn=None, _runner_cache={}) -> dict:
+                      assemble_fn=None, mesh=None, _runner_cache={}) -> dict:
     """Incremental solve (≙ ArSlamSolver::solveIncremental): repeatedly
     attach unsolved captures that share an initialized tag with the solved
     set; each attachment re-optimizes the whole active problem."""
@@ -257,12 +350,13 @@ def solve_incremental(store: MapStore, config=None, dtype=None,
 
     config = config or ArSlamConfig()
     dtype = dtype or _default_dtype(config)
+    mesh = _resolve_mesh(mesh, config)
     if not store.captures:
         return {"waves": 0}
     _maybe_calibrate_focal(store, config)
 
     runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
-                         assemble_fn)
+                         assemble_fn, mesh=mesh)
     # replay already-solved captures into the runner's active set without
     # re-optimizing (their poses came from the export)
     solved = [c.index for c in store.captures

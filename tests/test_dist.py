@@ -83,6 +83,36 @@ def test_dist_matches_single_device(problem):
                                rtol=1e-4, atol=1e-8)
 
 
+def test_wave_driver_dist_matches_single():
+    """The full BFS wave driver (seeding + incremental attach + LM per wave)
+    gives the same map on an 8-device mesh as on one device."""
+    from ar_slam_tpu.config import ArSlamConfig, SolverConfig
+    from ar_slam_tpu.solve.batch import solve
+
+    def fresh_store():
+        store, _ = make_synthetic_map(n_tags=12, n_caps=6, seed=3,
+                                      noise_px=0.3)
+        return store
+
+    cfg = ArSlamConfig(solver=SolverConfig(max_iterations=20, dtype="float64"))
+
+    s1 = fresh_store()
+    out1 = solve(s1, cfg)
+    s2 = fresh_store()
+    out2 = solve(s2, cfg, mesh=block_mesh(8))
+
+    assert out1["waves"] == out2["waves"]
+    np.testing.assert_allclose(out1["rmse"], out2["rmse"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.camera.params), np.asarray(s2.camera.params), rtol=1e-5
+    )
+    for c1, c2 in zip(s1.captures, s2.captures):
+        np.testing.assert_allclose(c1.inv_pose, c2.inv_pose,
+                                   rtol=1e-3, atol=1e-6)
+    for t1, t2 in zip(s1.arucos, s2.arucos):
+        np.testing.assert_allclose(t1.pose, t2.pose, rtol=1e-3, atol=1e-6)
+
+
 def test_partition_is_permutation(problem):
     _, arrs, _, _ = problem
     perm = partition_blocks(arrs.cap_idx, arrs.tag_idx, arrs.block_mask, 4)

@@ -162,12 +162,58 @@ def test_cli_detect_json(capsys):
     assert ids == [f"aruco_4X4_50_{i}" for i in (18, 20, 21, 22, 23)]
 
 
+def test_cli_audit(demo_map, capsys):
+    """≙ compareProjections (ar_slam_util.cpp:576-589): every block of a
+    solved demo map audits at sub-pixel reprojection error."""
+    import json as _json
+
+    rc = cli_main(["audit", demo_map, "--json"])
+    assert rc == 0
+    rows = [_json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 15
+    assert all(r["rmse_px"] < 2.0 for r in rows)
+    # sorted worst-first, and projected/observed corners are close
+    rmses = [r["rmse_px"] for r in rows]
+    assert rmses == sorted(rmses, reverse=True)
+    for r in rows:
+        obs = np.asarray(r["observed"])
+        proj = np.asarray(r["projected"])
+        assert np.abs(obs - proj).max() < 5.0
+
+
 def test_cli_annotate(demo_map, tmp_path):
     rc = cli_main(["annotate", demo_map, "--out-dir", str(tmp_path),
                    "--all-tags"])
     assert rc == 0
     outs = list(tmp_path.glob("*_annotated.png"))
     assert len(outs) == 3
+
+
+def test_load_images_service(tmp_path):
+    """≙ LoadImages.srv contract (img_fns[] -> success+message) over the
+    unix-socket control plane, including the empty-request error the client
+    enforces (load_images_client.py:30-40)."""
+    from ar_slam_tpu.pipeline.service import LoadImagesServer, send_load_images
+
+    sock = str(tmp_path / "arslam.sock")
+    server = LoadImagesServer(sock)
+    try:
+        resp = send_load_images(sock, ["a.jpg", "b.jpg"])
+        assert resp["success"] and "2" in resp["message"]
+        resp = send_load_images(sock, ["c.jpg"])
+        assert resp["success"]
+        assert server.pop_batch() == ["a.jpg", "b.jpg", "c.jpg"]
+        assert server.pop_batch() == []
+        resp = send_load_images(sock, [])
+        assert not resp["success"]
+        # partial drain respects max_items
+        send_load_images(sock, ["d.jpg", "e.jpg", "f.jpg"])
+        assert server.pop_batch(max_items=2) == ["d.jpg", "e.jpg"]
+        assert server.pop_batch() == ["f.jpg"]
+    finally:
+        server.close()
+    assert not os.path.exists(sock)
 
 
 def test_event_log_replay(tmp_path):
