@@ -49,14 +49,18 @@ def build_problem(n_tags=500, n_caps=200, dtype=np.float32, seed=0):
     return arrs, cap_poses, tag_poses
 
 
-def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=30, dtype=np.float32):
+def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
+             n_lo=None):
+    """Marginal LM iteration rate: time the same solve at two iteration
+    budgets and divide the difference — excluding the fixed per-call cost
+    (dispatch round trip, initial linearization, transfers), which on the
+    tunneled TPU otherwise dominates short solves."""
     import jax
     import jax.numpy as jnp
 
     from ar_slam_tpu.solve.lm import LMConfig, lm_solve
 
-    config = LMConfig(max_iterations=n_iters, function_tolerance=0.0,
-                      parameter_tolerance=0.0)
+    n_lo = n_lo if n_lo is not None else max(n_iters // 4, 1)
 
     with jax.default_device(device):
         args = tuple(
@@ -71,27 +75,36 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=30, dtype=np.float32):
         cap_m = jax.device_put(jnp.asarray(arrs.cap_mask), device)
         tag_m = jax.device_put(jnp.asarray(arrs.tag_mask), device)
 
-        def run():
+        def run(n):
+            config = LMConfig(max_iterations=n, function_tolerance=0.0,
+                              parameter_tolerance=0.0)
             cam, caps, tags, info = lm_solve(
                 *args[:7], cam_a, cap_m, tag_m,
                 aruco_size=0.0635, config=config,
             )
             return info
 
-        t0 = time.time()
-        info = run()
-        iters = int(info["iterations"])
+        def timed(n, reps=3):
+            t0 = time.time()
+            info = run(n)
+            iters = int(info["iterations"])
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(reps):
+                info = run(n)
+            int(info["iterations"])  # sync
+            return (time.time() - t0) / reps, iters, compile_s, info
+
+        wall_lo, it_lo, compile_lo, _ = timed(n_lo)
+        wall_hi, it_hi, compile_hi, info = timed(n_iters)
         cost = float(info["cost"])
-        compile_s = time.time() - t0
-        t0 = time.time()
-        info = run()
-        int(info["iterations"])  # sync
-        wall = time.time() - t0
+    marginal = (wall_hi - wall_lo) / max(it_hi - it_lo, 1)
     return {
-        "iters_per_s": iters / wall,
-        "wall_s": wall,
-        "compile_s": compile_s,
-        "iterations": iters,
+        "iters_per_s": 1.0 / marginal,
+        "wall_s": wall_hi,
+        "fixed_overhead_s": max(wall_lo - marginal * it_lo, 0.0),
+        "compile_s": compile_lo + compile_hi,
+        "iterations": it_hi,
         "final_cost": cost,
     }
 
@@ -183,7 +196,7 @@ def main():
     # CPU float64 baseline (Ceres-equivalent single-host path)
     try:
         cpu = jax.devices("cpu")[0]
-        base = bench_lm(arrs, cap_poses, tag_poses, cpu, n_iters=5)
+        base = bench_lm(arrs, cap_poses, tag_poses, cpu, n_iters=5, n_lo=1)
         log(f"cpu baseline: {base}")
         vs_baseline = accel["iters_per_s"] / base["iters_per_s"]
     except Exception as e:  # noqa: BLE001

@@ -113,6 +113,31 @@ def test_wave_driver_dist_matches_single():
         np.testing.assert_allclose(t1.pose, t2.pose, rtol=1e-3, atol=1e-6)
 
 
+def test_incremental_driver_dist_matches_single():
+    """solve_incremental with a mesh == without (same sweeps, same map)."""
+    from ar_slam_tpu.config import ArSlamConfig, SolverConfig
+    from ar_slam_tpu.solve.batch import solve_incremental
+
+    def fresh_store():
+        store, _ = make_synthetic_map(n_tags=10, n_caps=5, seed=7,
+                                      noise_px=0.3)
+        return store
+
+    cfg = ArSlamConfig(solver=SolverConfig(max_iterations=15, dtype="float64"))
+
+    s1 = fresh_store()
+    out1 = solve_incremental(s1, cfg)
+    s2 = fresh_store()
+    out2 = solve_incremental(s2, cfg, mesh=block_mesh(4))
+
+    assert out1["waves"] == out2["waves"]
+    assert out1["unsolved"] == out2["unsolved"] == 0
+    np.testing.assert_allclose(out1["rmse"], out2["rmse"], rtol=1e-5)
+    for c1, c2 in zip(s1.captures, s2.captures):
+        np.testing.assert_allclose(c1.inv_pose, c2.inv_pose,
+                                   rtol=1e-3, atol=1e-6)
+
+
 def test_partition_is_permutation(problem):
     _, arrs, _, _ = problem
     perm = partition_blocks(arrs.cap_idx, arrs.tag_idx, arrs.block_mask, 4)
