@@ -259,11 +259,30 @@ def _config(args):
     return cfg
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    20-40 s jit compiles.  ARSLAM_COMPILE_CACHE overrides the location;
+    set it to 0 to disable."""
+    cache = os.environ.get(
+        "ARSLAM_COMPILE_CACHE", os.path.expanduser("~/.cache/arslam/jax")
+    )
+    if not cache or cache == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is a convenience; never fail the command
+        pass
+
+
 def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="[%(levelname)s] %(name)s: %(message)s",
     )
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="arslam",
                                 description="TPU-native AR-tag SLAM engine")
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -52,6 +52,12 @@ class SolverConfig:
     # "hybrid": frontal + homography seed candidates, keep the lower-residual
     # one (robust to tag tilt).  "frontal": reference-parity heuristic only.
     seed_mode: str = "hybrid"
+    # Run the full LM only every Nth BFS wave (always on the last).  The
+    # reference re-optimizes after EVERY capture (ar_slam_util.cpp:845) —
+    # that is the parity default 1; larger values trade per-wave pose
+    # refinement for a large batch-mapping speedup (seeding still runs
+    # every wave, in the same compiled program with zero LM iterations).
+    optimize_every: int = 1
 
 
 @dataclass(frozen=True)

@@ -110,7 +110,7 @@ def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
-            seed_cap, seed_block, tag_init_blocks):
+            seed_cap, seed_block, tag_init_blocks, lm_enabled=True):
         from ar_slam_tpu.solve.batch import apply_wave_seeds
 
         n_caps = cap_poses.shape[0]
@@ -124,7 +124,8 @@ def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
             n_caps, n_tags,
         )
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
-                       tag_active, lin_fn, quality_fn, config)
+                       tag_active, lin_fn, quality_fn, config,
+                       enabled=lm_enabled)
 
     return run
 

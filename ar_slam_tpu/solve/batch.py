@@ -89,13 +89,19 @@ def solve_wave(
     seed_cap,
     seed_block,
     tag_init_blocks,
+    lm_enabled,
     *,
     aruco_size: float,
     config: LMConfig,
     assemble_fn=None,
     seed_mode: str = "hybrid",
 ):
-    """One solver wave: optional capture seeding + lazy tag init + full LM."""
+    """One solver wave: optional capture seeding + lazy tag init + full LM.
+
+    ``lm_enabled`` is traced: False runs only the seed prologue (zero LM
+    iterations) in the same compiled program — used by
+    solver_config.optimize_every to batch several attach waves per solve.
+    """
     cap_poses, tag_poses = apply_wave_seeds(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
         seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
@@ -104,6 +110,7 @@ def solve_wave(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners, block_mask,
         cam_active, cap_active, tag_active,
         aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
+        enabled=lm_enabled,
     )
 
 
@@ -211,8 +218,10 @@ class _WaveRunner:
         self.active_tags = np.zeros(self.t_pad, dtype=bool)
         self.last_info = None
 
-    def run_wave(self, cap_index: int, seed_block: int | None):
-        """Add one capture to the active problem and re-optimize."""
+    def run_wave(self, cap_index: int, seed_block: int | None,
+                 optimize: bool = True):
+        """Add one capture to the active problem and (optionally)
+        re-optimize; optimize=False runs only the seed prologue."""
         store = self.store
         cap = store.captures[cap_index]
         self.active_caps.add(cap_index)
@@ -247,6 +256,7 @@ class _WaveRunner:
                 jnp.asarray(cap_index, jnp.int32),
                 jnp.asarray(seed_row, jnp.int32),
                 jnp.asarray(tag_init_blocks),
+                jnp.asarray(optimize),
                 aruco_size=self.aruco_size,
                 config=self.config,
                 assemble_fn=self.assemble_fn,
@@ -255,17 +265,18 @@ class _WaveRunner:
         else:
             mask = np.zeros(self.b_dist, dtype=bool)
             mask[self.row_of_block[np.nonzero(self.active_blocks)[0]]] = True
-            (cam_a, cap_a, tag_a, seed_c, seed_b, tib) = self._replicate(
+            (cam_a, cap_a, tag_a, seed_c, seed_b, tib, lm_en) = self._replicate(
                 np.asarray(True), cap_active, self.active_tags.copy(),
                 np.asarray(cap_index, np.int32),
                 np.asarray(seed_row, np.int32), tag_init_blocks,
+                np.asarray(optimize),
             )
             (self.camera, self.cap_poses, self.tag_poses, info) = (
                 self._dist_wave(
                     self.camera, self.cap_poses, self.tag_poses,
                     self.cap_idx, self.tag_idx, self.corners,
                     self._shard_mask(mask),
-                    cam_a, cap_a, tag_a, seed_c, seed_b, tib,
+                    cam_a, cap_a, tag_a, seed_c, seed_b, tib, lm_en,
                 )
             )
         self.last_info = info
@@ -325,11 +336,13 @@ def solve(store: MapStore, config=None, dtype=None, assemble_fn=None,
 
     runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
                          assemble_fn, mesh=mesh)
-    for cap_index in order:
+    every = max(getattr(config.solver, "optimize_every", 1), 1)
+    for i, cap_index in enumerate(order):
         seed_block = None
         if cap_index != seed:
             seed_block = store.captures[cap_index].init_block
-        runner.run_wave(cap_index, seed_block)
+        optimize = (i % every == every - 1) or (i == len(order) - 1)
+        runner.run_wave(cap_index, seed_block, optimize=optimize)
         store.unsolved_captures.discard(cap_index)
     runner.finish()
 

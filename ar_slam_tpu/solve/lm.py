@@ -90,7 +90,7 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
-            lin_fn, quality_fn, config: LMConfig):
+            lin_fn, quality_fn, config: LMConfig, enabled=True):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
     The linearization (residuals + Jacobian blocks + assembled normal
@@ -98,6 +98,10 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     is accepted — rejected iterations re-solve the damped system with a new
     lambda at roughly half the cost (standard LM engineering; ceres does the
     same via its evaluated-jacobian cache).
+
+    ``enabled`` may be a traced bool: when False the while_loop runs zero
+    iterations (state starts converged), so the SAME compiled program serves
+    seed-only waves (solver_config.optimize_every) without a recompile.
     """
     dtype = cap_poses.dtype
 
@@ -110,7 +114,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         nu=jnp.asarray(2.0, dtype),
         cost=cost0,
         iteration=jnp.asarray(0, jnp.int32),
-        converged=jnp.asarray(False),
+        converged=jnp.logical_not(jnp.asarray(enabled)),
     )
 
     def body(carry):
@@ -206,6 +210,7 @@ def lm_solve(
     aruco_size: float,
     config: LMConfig = LMConfig(),
     assemble_fn=None,
+    enabled=True,
 ):
     """Run LM to convergence on the (masked, padded) problem.
 
@@ -228,4 +233,4 @@ def lm_solve(
             return eqs, cost, aux
 
     return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
-                   tag_active, lin_fn, quality_fn, config)
+                   tag_active, lin_fn, quality_fn, config, enabled=enabled)

@@ -33,13 +33,13 @@ def linearize(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
     """
 
     def res(camera, cap_pose, tag_pose, corners):
-        return _one_block(camera, cap_pose, tag_pose, corners, aruco_size)
+        r = _one_block(camera, cap_pose, tag_pose, corners, aruco_size)
+        return r, r  # aux carries the primal out of jacfwd for free
 
     def res_and_jac(cap_i, tag_i, crn):
         cap_pose = cap_poses[cap_i]
         tag_pose = tag_poses[tag_i]
-        r = res(camera, cap_pose, tag_pose, crn)
-        jc, jp, jt = jax.jacfwd(res, argnums=(0, 1, 2))(
+        (jc, jp, jt), r = jax.jacfwd(res, argnums=(0, 1, 2), has_aux=True)(
             camera, cap_pose, tag_pose, crn
         )
         return r, jc, jp, jt

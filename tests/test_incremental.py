@@ -66,3 +66,28 @@ def test_incremental_parks_disconnected_captures():
     dst.add_detections("bridge", bridge_dets, src.camera.size)
     s = solve_incremental(dst, cfg)
     assert s["unsolved"] == 0
+
+
+def test_optimize_every_batches_waves():
+    """solver.optimize_every=3: seed-only waves run zero LM iterations in
+    the same compiled program; the final map quality matches the per-wave
+    (reference-parity) schedule."""
+    import dataclasses
+
+    from ar_slam_tpu.solve.batch import solve
+
+    def run(every):
+        store, _ = make_synthetic_map(n_tags=12, n_caps=6, seed=11,
+                                      noise_px=0.3)
+        cfg = ArSlamConfig()
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(
+                cfg.solver, dtype="float64", optimize_every=every))
+        out = solve(store, cfg)
+        return out
+
+    out1 = run(1)
+    out3 = run(3)
+    assert out1["waves"] == out3["waves"] == 6
+    # both schedules land in the same optimum basin
+    assert out3["rmse"] < max(2.5 * out1["rmse"], 0.5)
