@@ -1,18 +1,27 @@
-"""Distributed LM: shard_map block-parallel hooks with psum reductions.
+"""Distributed LM: TAG-SHARDED Schur elimination over the device mesh.
 
-Design (SURVEY.md §2.3, §5.7-5.8): observations shard over the 1-D
-``blocks`` mesh axis; every quantity the LM driver needs — the assembled
-NormalEqs (per-tag V blocks, the flat cap–tag coupling, gradients) and the
-step-quality scalars — is an additive sum over blocks, so each device
-assembles over its shard and one ``psum`` over ICI produces the replicated
-reduced system.  The Schur solve + damping logic then run replicated (they
-are tiny), and pose state never leaves the device mesh.
+Design (SURVEY.md §2.3, §5.7-5.8; docs/distributed.md): the landmark
+(tag) axis is partitioned over a 1-D mesh and the block (observation) table
+is repacked so each device's slice holds exactly its tags' observations
+(``parallel.partition.prepare_tag_shards``).  Consequences per LM
+iteration:
 
-Communication per LM iteration:
-  psum(NormalEqs)  ~ O(T*36 + 6C*6T + C*36 + ...) floats
-  psum(3 scalars)  for step quality
-Everything else is local.  This is the ≥80%-scaling-efficiency path for the
-500-tag / 200-capture baseline config.
+- residuals/Jacobians and the TAG-side normal-equation blocks (per-tag 6x6
+  V, the (6C, 6t) coupling slab, tag gradients) assemble **locally** — they
+  never cross the interconnect;
+- the CAPTURE-side blocks psum once (~C*63 floats — tiny);
+- each device Schur-eliminates ITS tags (damped 6x6 inverses, Y = W V^-1,
+  the per-tag (Nr, Nr) contributions) — the heavy elimination compute
+  splits across the mesh instead of replicating — and ONE psum of the
+  additive reduced system (Nr^2 floats) replicates S;
+- the reduced Cholesky (3 + 6C unknowns) runs replicated (it is the only
+  serial part — Amdahl headroom is set by its share of an iteration);
+- back-substitution of tag updates is again local; tag pose state stays
+  sharded P("blocks") for the whole solve.
+
+Communication per iteration: psum(CapEqs) + psum(Nr^2 + Nr) + 3 scalars.
+Compare the naive observation-sharded design, which psums the full
+(6C, 6T) coupling (≈2x the bytes) and replicates the entire elimination.
 """
 
 from __future__ import annotations
@@ -21,113 +30,208 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ar_slam_tpu.parallel.mesh import BLOCK_AXIS
+from ar_slam_tpu.parallel.partition import prepare_tag_shards
 from ar_slam_tpu.solve.lm import LMConfig, lm_core
 from ar_slam_tpu.solve.residuals import linearize, residuals_only
-from ar_slam_tpu.solve.schur import NormalEqs, assemble
+from ar_slam_tpu.solve.schur import (
+    assemble_cap_side,
+    assemble_tag_side,
+    backsub_tags,
+    cap_scale_vectors,
+    eliminate_tags,
+    reduced_solve,
+)
 
 
-def make_dist_block_hooks(mesh, cap_idx, tag_idx, corners, block_mask,
-                          aruco_size, n_caps, n_tags):
-    """Block-parallel hooks whose reductions psum over the mesh.
+def _psum_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.psum(x, BLOCK_AXIS), tree
+    )
 
-    The hook outputs are replicated; inputs (block tables) are sharded on
-    the leading axis.  aux (r + Jacobian blocks) stays sharded between the
-    two hooks — it never crosses the interconnect.
+
+def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
+                           jacobi_scaling=True):
+    """Build (lin_fn, quality_fn, solve_fn_factory) for lm_core with tags
+    sharded over the mesh.
+
+    All tag-indexed arrays (tag_poses, tag_active, the block table) must be
+    in the RENUMBERED tag order from prepare_tag_shards, with global tag
+    count t_per * n_devices; block ``tag_idx`` carries the new GLOBAL ids
+    (converted to shard-local inside the kernels via axis_index).
     """
     blockspec = P(BLOCK_AXIS)
+    tagspec = P(BLOCK_AXIS)
+    hptspec = P(None, BLOCK_AXIS)
     rep = P()
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(rep, rep, rep, blockspec, blockspec, blockspec, blockspec),
-        out_specs=(rep, rep, (blockspec, blockspec, blockspec, blockspec)),
-    )
-    def _lin(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-             block_mask):
-        r, jc, jp, jt = linearize(
-            camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            block_mask, aruco_size,
+    def _local_tags(ti):
+        return ti - jax.lax.axis_index(BLOCK_AXIS) * t_per
+
+    def make_lin(cap_idx, tag_idx, corners, block_mask):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(rep, rep, tagspec, blockspec, blockspec, blockspec,
+                      blockspec),
+            out_specs=(
+                (rep, (tagspec, hptspec, tagspec, tagspec)),  # eqs
+                rep,  # cost
+                (blockspec, blockspec, blockspec, blockspec),  # aux
+            ),
         )
-        eqs = assemble(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
-        eqs = NormalEqs(*[jax.lax.psum(f, BLOCK_AXIS) for f in eqs])
-        cost = jax.lax.psum(0.5 * jnp.sum(r * r), BLOCK_AXIS)
-        return eqs, cost, (r, jc, jp, jt)
+        def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm):
+            til = _local_tags(ti)
+            r, jc, jp, jt = linearize(
+                camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
+            )
+            cap_eqs = _psum_tree(assemble_cap_side(r, jc, jp, ci, n_caps))
+            tag_side = assemble_tag_side(r, jc, jp, jt, ci, til, n_caps,
+                                         t_per)
+            cost = jax.lax.psum(0.5 * jnp.sum(r * r), BLOCK_AXIS)
+            return (cap_eqs, tag_side), cost, (r, jc, jp, jt)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(
-            (blockspec, blockspec, blockspec, blockspec),
-            rep, rep, rep, rep, rep, rep,
-            blockspec, blockspec, blockspec, blockspec,
-        ),
-        out_specs=(rep, rep, rep),
-    )
-    def _quality(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag,
-                 cap_idx, tag_idx, corners, block_mask):
-        r, jc, jp, jt = aux
-        r_new = residuals_only(
-            new_camera, new_caps, new_tags, cap_idx, tag_idx, corners,
-            block_mask, aruco_size,
+        def lin_fn(camera, cap_poses, tag_poses):
+            return _lin(camera, cap_poses, tag_poses, cap_idx, tag_idx,
+                        corners, block_mask)
+
+        return lin_fn
+
+    def make_quality(cap_idx, tag_idx, corners, block_mask):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                (blockspec, blockspec, blockspec, blockspec),
+                rep, rep, tagspec, rep, rep, tagspec,
+                blockspec, blockspec, blockspec, blockspec,
+            ),
+            out_specs=(rep, rep, rep),
         )
-        new_cost = jax.lax.psum(0.5 * jnp.sum(r_new * r_new), BLOCK_AXIS)
-        jd = (
-            jnp.einsum("brc,c->br", jc, d_cam)
-            + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx])
-            + jnp.einsum("brp,bp->br", jt, d_tag[tag_idx])
+        def _quality(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+                     d_tag, ci, ti, crn, bm):
+            r, jc, jp, jt = aux
+            til = _local_tags(ti)
+            r_new = residuals_only(
+                new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
+            )
+            new_cost = jax.lax.psum(0.5 * jnp.sum(r_new * r_new), BLOCK_AXIS)
+            jd = (
+                jnp.einsum("brc,c->br", jc, d_cam)
+                + jnp.einsum("brp,bp->br", jp, d_cap[ci])
+                + jnp.einsum("brp,bp->br", jt, d_tag[til])
+            )
+            g_dot_d = jax.lax.psum(jnp.sum(jd * r), BLOCK_AXIS)
+            jd_sq = jax.lax.psum(jnp.sum(jd * jd), BLOCK_AXIS)
+            return new_cost, g_dot_d, jd_sq
+
+        def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+                       d_tag):
+            return _quality(aux, new_camera, new_caps, new_tags, d_cam,
+                            d_cap, d_tag, cap_idx, tag_idx, corners,
+                            block_mask)
+
+        return quality_fn
+
+    def make_solve(cam_active, cap_active, tag_active):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=((tagspec, hptspec, tagspec, tagspec),
+                      rep, rep, tagspec, rep),
+            out_specs=(rep, rep,
+                       (tagspec, tagspec, tagspec, tagspec)),
         )
-        g_dot_d = jax.lax.psum(jnp.sum(jd * r), BLOCK_AXIS)
-        jd_sq = jax.lax.psum(jnp.sum(jd * jd), BLOCK_AXIS)
-        return new_cost, g_dot_d, jd_sq
+        def _elim(tag_side, s_c, s_p, tag_a, lam):
+            hct, hpt, htt, g_t = tag_side
+            wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags(
+                hct, hpt, htt, g_t, s_c, s_p, tag_a, lam, jacobi_scaling,
+            )
+            wvw = jax.lax.psum(wvw, BLOCK_AXIS)
+            wvg = jax.lax.psum(wvg, BLOCK_AXIS)
+            return wvw, wvg, (v_inv, wt, g_t_s, s_t)
 
-    def lin_fn(camera, cap_poses, tag_poses):
-        return _lin(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-                    block_mask)
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=((tagspec, tagspec, tagspec, tagspec), tagspec, rep),
+            out_specs=tagspec,
+        )
+        def _backsub(ctx, tag_a, delta_r):
+            v_inv, wt, g_t_s, s_t = ctx
+            return backsub_tags(v_inv, wt, g_t_s, s_t, tag_a, delta_r)
 
-    def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
-        return _quality(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
-                        d_tag, cap_idx, tag_idx, corners, block_mask)
+        def solve_fn(eqs, lam):
+            cap_eqs, tag_side = eqs
+            s_c, s_p = cap_scale_vectors(cap_eqs, cam_active, cap_active,
+                                         jacobi_scaling)
+            wvw, wvg, ctx = _elim(tag_side, s_c, s_p, tag_active, lam)
+            delta_r, d_cam, d_cap = reduced_solve(
+                cap_eqs, s_c, s_p, cam_active, cap_active, lam, wvw, wvg,
+            )
+            d_tag = _backsub(ctx, tag_active, delta_r)
+            return d_cam, d_cap, d_tag
 
-    return lin_fn, quality_fn
+        return solve_fn
+
+    return make_lin, make_quality, make_solve
 
 
-def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
-                          seed_mode: str = "hybrid"):
-    """Build a jitted distributed wave solver (seeding prologue + LM).
+class TagShardedProblem:
+    """Host-side prep: tag renumbering + block repack + device placement.
 
-    Mirrors ``solve.batch.solve_wave`` but with the block axis sharded over
-    ``mesh``: the seed gathers run under jit on the sharded tables (XLA
-    inserts the tiny collective), then the LM loop uses the shard_map hooks
-    whose normal-equation reductions psum over ICI.  Created once per
-    _WaveRunner; re-used across waves so the program compiles once per
-    padded-size bucket.
+    Produces device arrays in the sharded layout and converts results back
+    to the original tag numbering.
     """
 
-    @jax.jit
-    def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            block_mask, cam_active, cap_active, tag_active,
-            seed_cap, seed_block, tag_init_blocks, lm_enabled=True):
-        from ar_slam_tpu.solve.batch import apply_wave_seeds
-
-        n_caps = cap_poses.shape[0]
-        n_tags = tag_poses.shape[0]
-        cap_poses, tag_poses = apply_wave_seeds(
-            camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
+    def __init__(self, mesh, cap_idx, tag_idx, corners, block_mask, n_tags):
+        self.mesh = mesh
+        self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        cap_idx = np.asarray(cap_idx)
+        tag_idx = np.asarray(tag_idx)
+        corners = np.asarray(corners)
+        block_mask = np.asarray(block_mask)
+        self.prep = prepare_tag_shards(
+            cap_idx, tag_idx, block_mask, n_tags, self.n_dev
         )
-        lin_fn, quality_fn = make_dist_block_hooks(
-            mesh, cap_idx, tag_idx, corners, block_mask, aruco_size,
-            n_caps, n_tags,
-        )
-        return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
-                       tag_active, lin_fn, quality_fn, config,
-                       enabled=lm_enabled)
+        p = self.prep
+        self.t_per = p["t_per"]
+        self.t_new = p["t_new"]
+        rg = p["row_gather"]
+        self._shard = NamedSharding(mesh, P(BLOCK_AXIS))
+        self._hpt_shard = NamedSharding(mesh, P(None, BLOCK_AXIS))
+        self._rep = NamedSharding(mesh, P())
+        self.cap_idx = self.put_blocks(cap_idx[rg].astype(np.int32))
+        self.tag_idx = self.put_blocks(p["new_tag_idx"])
+        self.corners = self.put_blocks(corners[rg])
+        self.base_mask = p["row_mask"]
 
-    return run
+    def put_blocks(self, arr):
+        return jax.device_put(arr, self._shard)
+
+    def put_tags(self, arr):
+        """Permute an old-tag-indexed array into shard order and place it."""
+        return jax.device_put(
+            np.asarray(arr)[self.prep["tag_perm"]], self._shard
+        )
+
+    def put_rep(self, *arrs):
+        return tuple(jax.device_put(np.asarray(a), self._rep) for a in arrs)
+
+    def block_mask(self, active_old):
+        """Map an old-row activity mask into the repacked layout."""
+        m = np.asarray(active_old)[self.prep["row_gather"]] & self.base_mask
+        return self.put_blocks(m)
+
+    def tags_to_old(self, arr_new, n_old):
+        """Inverse-permute a tag-indexed result back to old numbering."""
+        return np.asarray(arr_new)[self.prep["tag_inv"][:n_old]]
+
+    def row_of_block(self, old_row):
+        return int(self.prep["row_of_block"][old_row])
 
 
 def lm_solve_dist(
@@ -146,21 +250,71 @@ def lm_solve_dist(
     aruco_size: float,
     config: LMConfig = LMConfig(),
 ):
-    """Distributed lm_solve: same contract as solve.lm.lm_solve but with the
-    block axis sharded over ``mesh``.  Block arrays must have a leading axis
-    divisible by the mesh size (see mesh.pad_blocks_to_multiple)."""
-    n_caps = cap_poses.shape[0]
-    n_tags = tag_poses.shape[0]
+    """Distributed lm_solve: same contract as solve.lm.lm_solve (arrays in
+    original tag numbering, any placement); tags and their observations are
+    sharded internally and results return in the original numbering."""
+    n_caps = np.asarray(cap_poses).shape[0]
+    n_tags = np.asarray(tag_poses).shape[0]
+    prob = TagShardedProblem(mesh, cap_idx, tag_idx, corners, block_mask,
+                             n_tags)
+    make_lin, make_quality, make_solve = make_tag_sharded_hooks(
+        mesh, prob.t_per, n_caps, aruco_size, config.jacobi_scaling,
+    )
 
-    @partial(jax.jit, static_argnames=())
+    tag_poses_s = prob.put_tags(tag_poses)
+    tag_active_s = prob.put_tags(tag_active)
+    bm = prob.block_mask(np.asarray(block_mask))
+    camera_r, cap_poses_r, cam_a, cap_a = prob.put_rep(
+        camera, cap_poses, cam_active, cap_active
+    )
+
+    @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active):
-        lin_fn, quality_fn = make_dist_block_hooks(
-            mesh, cap_idx, tag_idx, corners, block_mask, aruco_size,
-            n_caps, n_tags,
-        )
+        lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
+        quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)
+        solve_fn = make_solve(cam_active, cap_active, tag_active)
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
-                       tag_active, lin_fn, quality_fn, config)
+                       tag_active, lin_fn, quality_fn, config,
+                       solve_fn=solve_fn)
 
-    return run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-               block_mask, cam_active, cap_active, tag_active)
+    cam, caps, tags, info = run(
+        camera_r, cap_poses_r, tag_poses_s, prob.cap_idx, prob.tag_idx,
+        prob.corners, bm, cam_a, cap_a, tag_active_s,
+    )
+    tags_old = prob.tags_to_old(tags, n_tags)
+    return cam, caps, jnp.asarray(tags_old), info
+
+
+def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
+                          seed_mode: str = "hybrid"):
+    """Build a jitted distributed wave solver (seeding prologue + LM) over
+    the tag-sharded layout.  Created once per _WaveRunner; all tag-indexed
+    inputs/outputs use the RENUMBERED order (the runner owns the mapping).
+    """
+
+    @jax.jit
+    def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+            block_mask, cam_active, cap_active, tag_active,
+            seed_cap, seed_block, tag_init_blocks, lm_enabled=True):
+        from ar_slam_tpu.solve.batch import apply_wave_seeds
+
+        n_caps = cap_poses.shape[0]
+        t_new = tag_poses.shape[0]
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        t_per = t_new // n_dev
+        cap_poses, tag_poses = apply_wave_seeds(
+            camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+            seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
+        )
+        make_lin, make_quality, make_solve = make_tag_sharded_hooks(
+            mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
+        )
+        lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
+        quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)
+        solve_fn = make_solve(cam_active, cap_active, tag_active)
+        return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
+                       tag_active, lin_fn, quality_fn, config,
+                       enabled=lm_enabled, solve_fn=solve_fn)
+
+    return run

@@ -178,39 +178,29 @@ class _WaveRunner:
             self.corners = jnp.asarray(arrs.corners)
             self._dist_wave = None
         else:
-            from ar_slam_tpu.parallel.dist_lm import make_dist_wave_solver
-            from ar_slam_tpu.parallel.mesh import (
-                pad_blocks_to_multiple, replicate, shard_blocks,
+            from ar_slam_tpu.parallel.dist_lm import (
+                TagShardedProblem, make_dist_wave_solver,
             )
-            from ar_slam_tpu.parallel.partition import partition_blocks
 
-            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            perm = partition_blocks(
-                arrs.cap_idx, arrs.tag_idx, arrs.block_mask, n_dev
+            prob = TagShardedProblem(
+                mesh, arrs.cap_idx, arrs.tag_idx, arrs.corners,
+                arrs.block_mask, self.t_pad,
             )
-            self.row_of_block = np.empty(b_pad, dtype=np.int32)
-            self.row_of_block[perm] = np.arange(b_pad, dtype=np.int32)
-            blocks = pad_blocks_to_multiple(
-                {
-                    "cap_idx": arrs.cap_idx[perm],
-                    "tag_idx": arrs.tag_idx[perm],
-                    "corners": arrs.corners[perm],
-                },
-                n_dev,
-            )
-            self.b_dist = blocks["cap_idx"].shape[0]
-            self.cap_idx, self.tag_idx, self.corners = shard_blocks(
-                mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"]
-            )
-            self.camera, self.cap_poses, self.tag_poses = replicate(
-                mesh, arrs.camera, arrs.cap_poses, arrs.tag_poses
+            self._prob = prob
+            self.row_of_block = prob.prep["row_of_block"]
+            self.cap_idx = prob.cap_idx
+            self.tag_idx = prob.tag_idx
+            self.corners = prob.corners
+            self.t_new = prob.t_new
+            # tag state lives sharded in the RENUMBERED order
+            self.tag_poses = prob.put_tags(arrs.tag_poses)
+            (self.camera, self.cap_poses) = prob.put_rep(
+                arrs.camera, arrs.cap_poses
             )
             self._dist_wave = make_dist_wave_solver(
                 mesh, aruco_size=aruco_size, config=self.config,
                 seed_mode=self.seed_mode,
             )
-            self._shard_mask = lambda m: shard_blocks(mesh, m)[0]
-            self._replicate = lambda *a: replicate(mesh, *a)
         # host-side solver state (store-index order)
         self.active_caps: set[int] = set()
         self.active_blocks = np.zeros_like(arrs.block_mask)
@@ -226,7 +216,7 @@ class _WaveRunner:
         cap = store.captures[cap_index]
         self.active_caps.add(cap_index)
 
-        tag_init_blocks = np.full(self.t_pad, -1, dtype=np.int32)
+        init_pairs = []  # (old tag idx, device block row)
         for bh in cap.blocks:
             block = store.blocks[bh]
             self.active_blocks[bh] = True
@@ -234,7 +224,17 @@ class _WaveRunner:
             self.active_tags[t] = True
             if not self.tag_initialized[t]:
                 self.tag_initialized[t] = True
-                tag_init_blocks[t] = self.row_of_block[bh]
+                init_pairs.append((t, self.row_of_block[bh]))
+        if self._dist_wave is None:
+            tag_init_blocks = np.full(self.t_pad, -1, dtype=np.int32)
+            for t, row in init_pairs:
+                tag_init_blocks[t] = row
+        else:
+            # renumbered tag space (tags live sharded in shard order)
+            tag_inv = self._prob.prep["tag_inv"]
+            tag_init_blocks = np.full(self.t_new, -1, dtype=np.int32)
+            for t, row in init_pairs:
+                tag_init_blocks[tag_inv[t]] = row
 
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
@@ -263,28 +263,32 @@ class _WaveRunner:
                 seed_mode=self.seed_mode,
             )
         else:
-            mask = np.zeros(self.b_dist, dtype=bool)
-            mask[self.row_of_block[np.nonzero(self.active_blocks)[0]]] = True
-            (cam_a, cap_a, tag_a, seed_c, seed_b, tib, lm_en) = self._replicate(
-                np.asarray(True), cap_active, self.active_tags.copy(),
+            prob = self._prob
+            (cam_a, cap_a, seed_c, seed_b, lm_en) = prob.put_rep(
+                np.asarray(True), cap_active,
                 np.asarray(cap_index, np.int32),
-                np.asarray(seed_row, np.int32), tag_init_blocks,
+                np.asarray(seed_row, np.int32),
                 np.asarray(optimize),
             )
             (self.camera, self.cap_poses, self.tag_poses, info) = (
                 self._dist_wave(
                     self.camera, self.cap_poses, self.tag_poses,
                     self.cap_idx, self.tag_idx, self.corners,
-                    self._shard_mask(mask),
-                    cam_a, cap_a, tag_a, seed_c, seed_b, tib, lm_en,
+                    prob.block_mask(self.active_blocks),
+                    cam_a, cap_a, prob.put_tags(self.active_tags.copy()),
+                    seed_c, seed_b, prob.put_blocks(tag_init_blocks),
+                    lm_en,
                 )
             )
         self.last_info = info
         return info
 
     def finish(self):
+        tag_poses = np.asarray(self.tag_poses)
+        if self._dist_wave is not None:
+            tag_poses = self._prob.tags_to_old(tag_poses, self.t_pad)
         write_back(self.store, np.asarray(self.camera),
-                   np.asarray(self.cap_poses), np.asarray(self.tag_poses))
+                   np.asarray(self.cap_poses), tag_poses)
         if self.last_info is not None:
             logger.info(
                 "solve done: cost=%s iters(last wave)=%s",

@@ -90,7 +90,8 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
-            lin_fn, quality_fn, config: LMConfig, enabled=True):
+            lin_fn, quality_fn, config: LMConfig, enabled=True,
+            solve_fn=None):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
     The linearization (residuals + Jacobian blocks + assembled normal
@@ -102,8 +103,18 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     ``enabled`` may be a traced bool: when False the while_loop runs zero
     iterations (state starts converged), so the SAME compiled program serves
     seed-only waves (solver_config.optimize_every) without a recompile.
+
+    ``solve_fn(eqs, lam) -> (d_cam, d_cap, d_tag)`` overrides the damped
+    Schur solve (the distributed solver supplies a tag-sharded version);
+    default = single-device ``schur_solve``.
     """
     dtype = cap_poses.dtype
+    if solve_fn is None:
+        def solve_fn(eqs, lam):
+            return schur_solve(
+                eqs, lam, cam_active, cap_active, tag_active,
+                jacobi_scaling=config.jacobi_scaling,
+            )
 
     eqs0, cost0, aux0 = lin_fn(camera, cap_poses, tag_poses)
     state0 = LMState(
@@ -119,10 +130,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
 
     def body(carry):
         state, eqs, aux = carry
-        d_cam, d_cap, d_tag = schur_solve(
-            eqs, state.lam, cam_active, cap_active, tag_active,
-            jacobi_scaling=config.jacobi_scaling,
-        )
+        d_cam, d_cap, d_tag = solve_fn(eqs, state.lam)
 
         new_camera = state.camera + d_cam
         new_caps = state.cap_poses + d_cap

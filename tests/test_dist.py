@@ -1,7 +1,6 @@
-"""Distributed BA tests on the virtual 8-device CPU mesh: sharded solve must
-match the single-device solve bit-for-bit per iteration (same reduction
-order is not guaranteed, so per-iteration equality is asserted to tight
-float64 tolerance instead)."""
+"""Distributed BA tests on the virtual 8-device CPU mesh: the tag-sharded
+solve must match the single-device solve (same algorithm; reduction order
+is not bit-identical, so equality is asserted to tight float64 tolerance)."""
 
 import jax
 import jax.numpy as jnp
@@ -13,9 +12,8 @@ from ar_slam_tpu.parallel import (
     block_mesh,
     lm_solve_dist,
     partition_blocks,
-    shard_blocks,
+    prepare_tag_shards,
 )
-from ar_slam_tpu.parallel.mesh import pad_blocks_to_multiple, replicate
 from ar_slam_tpu.solve import lm_solve
 from ar_slam_tpu.solve.lm import LMConfig
 from ar_slam_tpu.utils.synthetic import make_synthetic_map
@@ -54,24 +52,10 @@ def test_dist_matches_single_device(problem):
     )
 
     mesh = block_mesh(8)
-    blocks = {
-        "cap_idx": arrs.cap_idx, "tag_idx": arrs.tag_idx,
-        "corners": arrs.corners, "block_mask": arrs.block_mask,
-    }
-    perm = partition_blocks(arrs.cap_idx, arrs.tag_idx, arrs.block_mask, 8)
-    blocks = {k: v[perm] for k, v in blocks.items()}
-    blocks = pad_blocks_to_multiple(blocks, 8)
-    ci, ti, crn, bm = shard_blocks(
-        mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"],
-        blocks["block_mask"],
-    )
-    cam0, caps0, tags0, cam_a, cap_a, tag_a = replicate(
-        mesh, arrs.camera, cap_poses, tag_poses, np.asarray(True),
-        arrs.cap_mask, arrs.tag_mask,
-    )
     cam2, caps2, tags2, info2 = lm_solve_dist(
-        mesh, cam0, caps0, tags0, ci, ti, crn, bm,
-        cam_a, cap_a, tag_a, aruco_size=ARUCO_SIZE, config=config,
+        mesh, arrs.camera, cap_poses, tag_poses, arrs.cap_idx, arrs.tag_idx,
+        arrs.corners, arrs.block_mask, np.asarray(True), arrs.cap_mask,
+        arrs.tag_mask, aruco_size=ARUCO_SIZE, config=config,
     )
 
     np.testing.assert_allclose(float(info1["cost"]), float(info2["cost"]),
@@ -151,23 +135,38 @@ def test_dist_solve_different_mesh_sizes(problem):
     results = []
     for n in (2, 4):
         mesh = block_mesh(n)
-        blocks = {
-            "cap_idx": arrs.cap_idx, "tag_idx": arrs.tag_idx,
-            "corners": arrs.corners, "block_mask": arrs.block_mask,
-        }
-        blocks = pad_blocks_to_multiple(blocks, n)
-        ci, ti, crn, bm = shard_blocks(
-            mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"],
-            blocks["block_mask"],
-        )
-        cam0, caps0, tags0, cam_a, cap_a, tag_a = replicate(
-            mesh, arrs.camera, cap_poses, tag_poses, np.asarray(True),
-            arrs.cap_mask, arrs.tag_mask,
-        )
         cam, caps, tags, info = lm_solve_dist(
-            mesh, cam0, caps0, tags0, ci, ti, crn, bm, cam_a, cap_a, tag_a,
+            mesh, arrs.camera, cap_poses, tag_poses, arrs.cap_idx,
+            arrs.tag_idx, arrs.corners, arrs.block_mask, np.asarray(True),
+            arrs.cap_mask, arrs.tag_mask,
             aruco_size=ARUCO_SIZE, config=config,
         )
         results.append((np.asarray(cam), float(info["cost"])))
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
     np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+
+
+def test_prepare_tag_shards_structure(problem):
+    """Tag partition invariants: every tag lands in exactly one shard, every
+    active block lands in its tag's shard slice, row maps invert."""
+    _, arrs, _, _ = problem
+    n = 4
+    t_pad = arrs.tag_poses.shape[0]
+    p = prepare_tag_shards(arrs.cap_idx, arrs.tag_idx, arrs.block_mask,
+                           t_pad, n)
+    t_per = p["t_per"]
+    assert p["t_new"] == t_per * n
+    # tag_inv is injective into [0, t_new)
+    assert len(set(p["tag_inv"].tolist())) == t_pad
+    # every original row maps to a row that gathers it back
+    rg, rob = p["row_gather"], p["row_of_block"]
+    for old in np.nonzero(arrs.block_mask)[0]:
+        assert rg[rob[old]] == old
+        # block sits in the shard owning its (renumbered) tag
+        new_tid = p["tag_inv"][arrs.tag_idx[old]]
+        assert rob[old] // p["b_shard"] == new_tid // t_per
+    # per-shard padding rows are masked out and tag-local
+    for s in range(n):
+        sl = slice(s * p["b_shard"], (s + 1) * p["b_shard"])
+        tids = p["new_tag_idx"][sl]
+        assert np.all((tids >= s * t_per) & (tids < (s + 1) * t_per))

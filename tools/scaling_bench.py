@@ -40,10 +40,7 @@ def main():
 
     sys.path.insert(0, ".")
     from bench import build_problem
-    from ar_slam_tpu.parallel import (
-        block_mesh, lm_solve_dist, partition_blocks, shard_blocks,
-    )
-    from ar_slam_tpu.parallel.mesh import pad_blocks_to_multiple, replicate
+    from ar_slam_tpu.parallel import block_mesh, lm_solve_dist
     from ar_slam_tpu.solve.lm import LMConfig
 
     n_dev = len(jax.devices())
@@ -51,6 +48,13 @@ def main():
     sizes = [s for s in sizes if s <= n_dev]
     print(f"devices available: {n_dev}; testing mesh sizes {sizes}",
           file=sys.stderr)
+    if args.cpu_mesh:
+        print(
+            "NOTE: virtual CPU mesh — all shards share one host's cores, so "
+            "iter/s CANNOT increase with mesh size; this validates "
+            "structure/overhead only.  ICI efficiency needs real chips.",
+            file=sys.stderr,
+        )
 
     arrs, cap_poses, tag_poses = build_problem(args.tags, args.caps)
     config = LMConfig(max_iterations=args.iters, function_tolerance=0.0,
@@ -59,27 +63,13 @@ def main():
     results = {}
     for n in sizes:
         mesh = block_mesh(n)
-        blocks = {
-            "cap_idx": arrs.cap_idx, "tag_idx": arrs.tag_idx,
-            "corners": arrs.corners.astype(np.float32),
-            "block_mask": arrs.block_mask,
-        }
-        perm = partition_blocks(arrs.cap_idx, arrs.tag_idx, arrs.block_mask, n)
-        blocks = {k: v[perm] for k, v in blocks.items()}
-        blocks = pad_blocks_to_multiple(blocks, n)
-        ci, ti, crn, bm = shard_blocks(
-            mesh, blocks["cap_idx"], blocks["tag_idx"], blocks["corners"],
-            blocks["block_mask"],
-        )
-        cam0, caps0, tags0, cam_a, cap_a, tag_a = replicate(
-            mesh, arrs.camera.astype(np.float32), cap_poses, tag_poses,
-            np.asarray(True), arrs.cap_mask, arrs.tag_mask,
-        )
 
         def run():
             return lm_solve_dist(
-                mesh, cam0, caps0, tags0, ci, ti, crn, bm, cam_a, cap_a,
-                tag_a, aruco_size=0.0635, config=config,
+                mesh, arrs.camera.astype(np.float32), cap_poses, tag_poses,
+                arrs.cap_idx, arrs.tag_idx, arrs.corners.astype(np.float32),
+                arrs.block_mask, np.asarray(True), arrs.cap_mask,
+                arrs.tag_mask, aruco_size=0.0635, config=config,
             )
 
         out = run()
