@@ -256,6 +256,13 @@ def _config(args):
         cfg = dataclasses.replace(
             cfg, dist=dataclasses.replace(cfg.dist, num_devices=n_dev)
         )
+    prof = getattr(args, "profile", "")
+    if prof:
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(cfg.pipeline,
+                                         profile_trace_dir=prof),
+        )
     return cfg
 
 
@@ -297,6 +304,9 @@ def main(argv=None) -> int:
         sp.add_argument("--devices", type=int, default=0,
                         help="shard the solve over N devices (distributed "
                              "BA over a 'blocks' mesh); 0/1 = single device")
+        sp.add_argument("--profile", default="",
+                        help="write a jax profiler trace (xprof/tensorboard"
+                             ") of the solve to this directory")
 
     sp = sub.add_parser("map", help="batch mapping (≙ ar_slam_cli)")
     sp.add_argument("inputs", nargs="+",

@@ -161,8 +161,10 @@ class ArSlamEngine:
     def solve(self) -> dict:
         """Batch BFS solve (≙ ar_slam_cli)."""
         from ar_slam_tpu.solve import solve_batch
+        from ar_slam_tpu.utils.metrics import profile_trace
 
-        with self.metrics.timer("solve"):
+        with self.metrics.timer("solve"), \
+                profile_trace(self.config.pipeline.profile_trace_dir):
             out = solve_batch(self.store, self.config)
         self.metrics.count("captures_solved", out.get("waves", 0))
         self._maybe_snapshot()
@@ -171,8 +173,10 @@ class ArSlamEngine:
     def solve_incremental(self) -> dict:
         """Incremental solve (≙ ArSlam::detection_callback path)."""
         from ar_slam_tpu.solve import solve_incremental
+        from ar_slam_tpu.utils.metrics import profile_trace
 
-        with self.metrics.timer("solve_incremental"):
+        with self.metrics.timer("solve_incremental"), \
+                profile_trace(self.config.pipeline.profile_trace_dir):
             out = solve_incremental(self.store, self.config)
         self.metrics.count("captures_solved", out.get("waves", 0))
         self._maybe_snapshot()

@@ -135,16 +135,63 @@ def bench_demo(dtype=np.float32):
             for d in cap4["detections"]["4X4_50"]]
     store.add_detections(cap4["uid"], dets, (cap4["width"], cap4["height"]),
                          cap4["img_fn"])
-    # localization throughput: replicate the query many times
     t0 = time.time()
     loc = localize_many(store, first, ArSlamConfig())
     loc_wall = time.time() - t0
-    return {
+    out = {
         "demo_rmse_px": summary["rmse"],
         "demo_solve_s": demo_wall,
         "localize_rmse_px": loc["rmse"],
         "localize_s": loc_wall,
     }
+    out["localize_caps_per_s"] = bench_localize_throughput(store, dtype)
+    return out
+
+
+def bench_localize_throughput(store, dtype, q=256, reps=3):
+    """Steady-state captures-localized/s: the img4 query replicated q times
+    through the vmapped pose-only kernel (BASELINE 'captures localized/s';
+    the reference rebuilds a ceres problem per query)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ar_slam_tpu.config import ArSlamConfig
+    from ar_slam_tpu.solve.batch import _lm_config
+    from ar_slam_tpu.solve.localize import localize_kernel
+
+    config = ArSlamConfig()
+    cap = store.captures[-1]  # the localized img4 query
+    blocks = [store.blocks[bh] for bh in cap.blocks]
+    k = len(blocks)
+    t_pad = max(len(store.arucos), 1)
+    tag_poses = np.zeros((t_pad, 6), dtype=dtype)
+    for tag in store.arucos:
+        tag_poses[tag.index] = tag.pose
+    q_tag_idx = np.tile(
+        np.array([b.tag_idx for b in blocks], dtype=np.int32), (q, 1))
+    q_corners = np.tile(
+        np.stack([b.corners for b in blocks]).astype(dtype), (q, 1, 1, 1))
+    q_mask = np.ones((q, k), dtype=bool)
+    q_seed = np.zeros(q, dtype=np.int32)
+
+    def run():
+        poses, costs = localize_kernel(
+            jnp.asarray(store.camera.params, dtype=dtype),
+            jnp.asarray(tag_poses), jnp.asarray(q_tag_idx),
+            jnp.asarray(q_corners), jnp.asarray(q_mask), jnp.asarray(q_seed),
+            aruco_size=config.aruco_size,
+            config=_lm_config(config.solver),
+            seed_mode=config.solver.seed_mode,
+        )
+        return jax.block_until_ready(costs)
+
+    run()  # compile
+    t0 = time.time()
+    for _ in range(reps):
+        costs = run()
+    dt = (time.time() - t0) / reps
+    assert np.isfinite(np.asarray(costs)).all()
+    return q / dt
 
 
 def bench_detection(batch_size=8, reps=5):

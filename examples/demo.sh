@@ -18,6 +18,12 @@ arslam localize "$OUT/map.yaml" "$IMGS"/img4.jpg -o "$OUT/localize.yaml"
 echo "== annotated overlays -> $OUT/annotated/"
 arslam annotate "$OUT/localize.yaml" --out-dir "$OUT/annotated" --all-tags
 
+echo "== reprojection audit (worst blocks first)"
+arslam audit "$OUT/localize.yaml" --limit 10
+
+echo "== 3-D scene render -> $OUT/scene.png"
+arslam scene "$OUT/map.yaml" -o "$OUT/scene.png"
+
 echo "== streaming mode demo: watch a directory (ctrl-c to stop)"
 echo "   arslam serve --watch photos/ -o map.yaml"
 echo "   (drop images into photos/ — the load_images client equivalent)"
