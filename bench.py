@@ -233,6 +233,17 @@ def bench_detection(batch_size=8, reps=5):
 def main():
     import jax
 
+    # persistent compile cache: repeat bench runs skip the (axon-remote,
+    # highly variable 20-400 s) jit compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/arslam/jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     dev = jax.devices()[0]
     log(f"benchmark device: {dev}")
     arrs, cap_poses, tag_poses = build_problem()
