@@ -91,7 +91,7 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             lin_fn, quality_fn, config: LMConfig, enabled=True,
-            solve_fn=None):
+            solve_fn=None, iter_budget=None):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
     The linearization (residuals + Jacobian blocks + assembled normal
@@ -107,6 +107,10 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     ``solve_fn(eqs, lam) -> (d_cam, d_cap, d_tag)`` overrides the damped
     Schur solve (the distributed solver supplies a tag-sharded version);
     default = single-device ``schur_solve``.
+
+    ``iter_budget`` (traced int, optional) caps iterations below
+    config.max_iterations WITHOUT recompiling — one compiled program
+    serves any budget (benchmarks time two budgets and subtract).
     """
     dtype = cap_poses.dtype
     if solve_fn is None:
@@ -187,9 +191,15 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         eqs_n, aux_n = jax.lax.cond(accept & ~converged, do_lin, keep, None)
         return new_state, eqs_n, aux_n
 
+    budget = jnp.asarray(
+        config.max_iterations if iter_budget is None else iter_budget,
+        jnp.int32,
+    )
+    budget = jnp.minimum(budget, config.max_iterations)
+
     def cond(carry):
         state = carry[0]
-        return (state.iteration < config.max_iterations) & ~state.converged
+        return (state.iteration < budget) & ~state.converged
 
     final, _, _ = jax.lax.while_loop(cond, body, (state0, eqs0, aux0))
     info = {
@@ -219,6 +229,7 @@ def lm_solve(
     config: LMConfig = LMConfig(),
     assemble_fn=None,
     enabled=True,
+    iter_budget=None,
 ):
     """Run LM to convergence on the (masked, padded) problem.
 
@@ -241,4 +252,5 @@ def lm_solve(
             return eqs, cost, aux
 
     return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
-                   tag_active, lin_fn, quality_fn, config, enabled=enabled)
+                   tag_active, lin_fn, quality_fn, config, enabled=enabled,
+                   iter_budget=iter_budget)

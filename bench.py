@@ -75,12 +75,16 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         cap_m = jax.device_put(jnp.asarray(arrs.cap_mask), device)
         tag_m = jax.device_put(jnp.asarray(arrs.tag_mask), device)
 
+        config = LMConfig(max_iterations=n_iters, function_tolerance=0.0,
+                          parameter_tolerance=0.0)
+
         def run(n):
-            config = LMConfig(max_iterations=n, function_tolerance=0.0,
-                              parameter_tolerance=0.0)
+            # traced iteration budget: ONE compiled program serves both
+            # timing points
             cam, caps, tags, info = lm_solve(
                 *args[:7], cam_a, cap_m, tag_m,
                 aruco_size=0.0635, config=config,
+                iter_budget=jnp.asarray(n, jnp.int32),
             )
             return info
 
