@@ -99,8 +99,10 @@ class PipelineConfig:
 class DistConfig:
     """Distributed BA configuration."""
 
-    data_axis: str = "blocks"  # mesh axis name for observation sharding
-    num_devices: int = 0  # 0 = all available
+    data_axis: str = "blocks"  # mesh axis name for tag/observation sharding
+    # number of devices to shard the solve over; 0 or 1 = single-device
+    # (no distribution).  The CLI --devices flag sets this.
+    num_devices: int = 0
 
 
 @dataclass(frozen=True)

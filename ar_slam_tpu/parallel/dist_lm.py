@@ -26,7 +26,7 @@ Compare the naive observation-sharded design, which psums the full
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -213,10 +213,20 @@ class TagShardedProblem:
         return jax.device_put(arr, self._shard)
 
     def put_tags(self, arr):
-        """Permute an old-tag-indexed array into shard order and place it."""
-        return jax.device_put(
-            np.asarray(arr)[self.prep["tag_perm"]], self._shard
-        )
+        """Permute an old-tag-indexed array into shard order and place it.
+        Padding slots (which gather old tag 0's row) are zeroed so they
+        contribute nothing to norms/costs."""
+        out = np.asarray(arr)[self.prep["tag_perm"]].copy()
+        invalid = ~self.prep["tag_slot_valid"]
+        if invalid.any():
+            out[invalid] = 0
+        return jax.device_put(out, self._shard)
+
+    def put_tag_mask(self, mask_old):
+        """Permute an activity mask, forcing padding tag slots inactive
+        (they alias old tag 0's row and must not become parameters)."""
+        m = np.asarray(mask_old)[self.prep["tag_perm"]]
+        return jax.device_put(m & self.prep["tag_slot_valid"], self._shard)
 
     def put_rep(self, *arrs):
         return tuple(jax.device_put(np.asarray(a), self._rep) for a in arrs)
@@ -232,6 +242,28 @@ class TagShardedProblem:
 
     def row_of_block(self, old_row):
         return int(self.prep["row_of_block"][old_row])
+
+
+@lru_cache(maxsize=32)
+def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config):
+    """Memoized jitted distributed-LM program: repeated lm_solve_dist calls
+    with the same mesh/shape/config hit the jit cache instead of
+    re-tracing (axon remote compiles are 20-400 s)."""
+    make_lin, make_quality, make_solve = make_tag_sharded_hooks(
+        mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
+    )
+
+    @jax.jit
+    def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+            block_mask, cam_active, cap_active, tag_active):
+        lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
+        quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)
+        solve_fn = make_solve(cam_active, cap_active, tag_active)
+        return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
+                       tag_active, lin_fn, quality_fn, config,
+                       solve_fn=solve_fn)
+
+    return run
 
 
 def lm_solve_dist(
@@ -257,27 +289,14 @@ def lm_solve_dist(
     n_tags = np.asarray(tag_poses).shape[0]
     prob = TagShardedProblem(mesh, cap_idx, tag_idx, corners, block_mask,
                              n_tags)
-    make_lin, make_quality, make_solve = make_tag_sharded_hooks(
-        mesh, prob.t_per, n_caps, aruco_size, config.jacobi_scaling,
-    )
-
     tag_poses_s = prob.put_tags(tag_poses)
-    tag_active_s = prob.put_tags(tag_active)
+    tag_active_s = prob.put_tag_mask(tag_active)
     bm = prob.block_mask(np.asarray(block_mask))
     camera_r, cap_poses_r, cam_a, cap_a = prob.put_rep(
         camera, cap_poses, cam_active, cap_active
     )
 
-    @jax.jit
-    def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            block_mask, cam_active, cap_active, tag_active):
-        lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
-        quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)
-        solve_fn = make_solve(cam_active, cap_active, tag_active)
-        return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
-                       tag_active, lin_fn, quality_fn, config,
-                       solve_fn=solve_fn)
-
+    run = _dist_lm_runner(mesh, prob.t_per, n_caps, aruco_size, config)
     cam, caps, tags, info = run(
         camera_r, cap_poses_r, tag_poses_s, prob.cap_idx, prob.tag_idx,
         prob.corners, bm, cam_a, cap_a, tag_active_s,
@@ -288,11 +307,16 @@ def lm_solve_dist(
 
 def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
                           seed_mode: str = "hybrid"):
-    """Build a jitted distributed wave solver (seeding prologue + LM) over
-    the tag-sharded layout.  Created once per _WaveRunner; all tag-indexed
-    inputs/outputs use the RENUMBERED order (the runner owns the mapping).
-    """
+    """Jitted distributed wave solver (seeding prologue + LM) over the
+    tag-sharded layout; all tag-indexed inputs/outputs use the RENUMBERED
+    order (the runner owns the mapping).  Memoized so every _WaveRunner
+    (one per solve/solve_incremental call) shares the jit cache — a serve
+    loop must not re-trace per batch."""
+    return _dist_wave_solver(mesh, aruco_size, config, seed_mode)
 
+
+@lru_cache(maxsize=32)
+def _dist_wave_solver(mesh, aruco_size, config, seed_mode):
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,

@@ -95,13 +95,21 @@ def prepare_tag_shards(cap_idx: np.ndarray, tag_idx: np.ndarray,
         tag_inv[t] = new_id
         tag_perm[new_id] = t
     # unfilled new slots (padding tags) gather old tag 0's pose row so the
-    # permuted tag arrays stay well-formed
+    # permuted tag arrays stay well-formed; tag_slot_valid marks them so
+    # activity masks can force them inactive (put_tag_mask)
+    tag_slot_valid = tag_perm >= 0
     tag_perm[tag_perm < 0] = 0
 
-    # block repack: each shard's slice = its tags' block rows, padded
+    # block repack: each shard's slice = its tags' block rows, padded.
+    # Export-padding rows (block_mask False) can never become active —
+    # drop them here instead of inflating tag-0's shard with dead rows
+    # every device would linearize each iteration.
     new_tid_of_row = tag_inv[tag_idx]
     shard_of_row = new_tid_of_row // t_per
-    per_shard_rows = [np.nonzero(shard_of_row == s)[0] for s in range(n_shards)]
+    per_shard_rows = [
+        np.nonzero((shard_of_row == s) & block_mask)[0]
+        for s in range(n_shards)
+    ]
     b_shard = max(len(rr) for rr in per_shard_rows)
     b_shard = max(b_shard, 1)
     b_new = b_shard * n_shards
@@ -109,7 +117,8 @@ def prepare_tag_shards(cap_idx: np.ndarray, tag_idx: np.ndarray,
     row_gather = np.zeros(b_new, dtype=np.int64)
     row_mask = np.zeros(b_new, dtype=bool)
     new_tag_idx = np.zeros(b_new, dtype=np.int32)
-    row_of_block = np.zeros(tag_idx.shape[0], dtype=np.int64)
+    # dropped (export-padding) rows keep -1: they have no device row
+    row_of_block = np.full(tag_idx.shape[0], -1, dtype=np.int64)
     for s, rr in enumerate(per_shard_rows):
         base = s * b_shard
         row_gather[base:base + len(rr)] = rr
@@ -125,6 +134,7 @@ def prepare_tag_shards(cap_idx: np.ndarray, tag_idx: np.ndarray,
         "b_shard": b_shard,
         "tag_perm": tag_perm,
         "tag_inv": tag_inv,
+        "tag_slot_valid": tag_slot_valid,
         "row_gather": row_gather,
         "row_mask": row_mask,
         "row_of_block": row_of_block,

@@ -52,6 +52,9 @@ class LoadImagesServer:
                 break
             with conn:
                 try:
+                    # a silent/partial client must not wedge the (single-
+                    # threaded) accept loop
+                    conn.settimeout(2.0)
                     data = b""
                     while not data.endswith(b"\n"):
                         chunk = conn.recv(65536)

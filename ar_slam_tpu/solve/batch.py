@@ -275,7 +275,7 @@ class _WaveRunner:
                     self.camera, self.cap_poses, self.tag_poses,
                     self.cap_idx, self.tag_idx, self.corners,
                     prob.block_mask(self.active_blocks),
-                    cam_a, cap_a, prob.put_tags(self.active_tags.copy()),
+                    cam_a, cap_a, prob.put_tag_mask(self.active_tags.copy()),
                     seed_c, seed_b, prob.put_blocks(tag_init_blocks),
                     lm_en,
                 )

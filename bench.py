@@ -100,14 +100,19 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
             return (time.time() - t0) / reps, iters, compile_s, info
 
         wall_lo, it_lo, compile_lo, _ = timed(n_lo)
-        wall_hi, it_hi, compile_hi, info = timed(n_iters)
+        # second budget reuses the same compiled program (traced budget) —
+        # its "compile" is just a warm dispatch
+        wall_hi, it_hi, _, info = timed(n_iters)
         cost = float(info["cost"])
-    marginal = (wall_hi - wall_lo) / max(it_hi - it_lo, 1)
+    if it_hi > it_lo:
+        marginal = (wall_hi - wall_lo) / (it_hi - it_lo)
+    else:  # solver converged/stalled inside the low budget
+        marginal = wall_hi / max(it_hi, 1)
     return {
         "iters_per_s": 1.0 / marginal,
         "wall_s": wall_hi,
         "fixed_overhead_s": max(wall_lo - marginal * it_lo, 0.0),
-        "compile_s": compile_lo + compile_hi,
+        "compile_s": compile_lo,
         "iterations": it_hi,
         "final_cost": cost,
     }
@@ -238,15 +243,10 @@ def main():
     import jax
 
     # persistent compile cache: repeat bench runs skip the (axon-remote,
-    # highly variable 20-400 s) jit compiles
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/arslam/jax"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # highly variable 20-400 s) jit compiles; ARSLAM_COMPILE_CACHE=0 opts out
+    from ar_slam_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
 
     dev = jax.devices()[0]
     log(f"benchmark device: {dev}")

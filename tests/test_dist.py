@@ -146,6 +146,49 @@ def test_dist_solve_different_mesh_sizes(problem):
     np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
 
 
+def test_dist_non_power_of_two_mesh(problem):
+    """3-device mesh: t_per*3 > padded tag count, so padding tag slots
+    alias old tag 0's row — they must stay inactive and the result must
+    still match single-device."""
+    store, arrs, cap_poses, tag_poses = problem
+    config = LMConfig(max_iterations=10)
+    cam1, caps1, tags1, info1 = lm_solve(
+        jnp.asarray(arrs.camera), jnp.asarray(cap_poses), jnp.asarray(tag_poses),
+        jnp.asarray(arrs.cap_idx), jnp.asarray(arrs.tag_idx),
+        jnp.asarray(arrs.corners), jnp.asarray(arrs.block_mask),
+        jnp.asarray(True), jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+        aruco_size=ARUCO_SIZE, config=config,
+    )
+    cam3, caps3, tags3, info3 = lm_solve_dist(
+        block_mesh(3), arrs.camera, cap_poses, tag_poses, arrs.cap_idx,
+        arrs.tag_idx, arrs.corners, arrs.block_mask, np.asarray(True),
+        arrs.cap_mask, arrs.tag_mask, aruco_size=ARUCO_SIZE, config=config,
+    )
+    assert int(info3["iterations"]) == int(info1["iterations"])
+    np.testing.assert_allclose(float(info1["cost"]), float(info3["cost"]),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(cam1), np.asarray(cam3), rtol=1e-6)
+
+
+def test_dist_runner_jit_cache_reuse(problem):
+    """Repeated lm_solve_dist calls with the same mesh/shapes/config must
+    reuse the jitted program (a serve loop cannot re-trace per batch)."""
+    from ar_slam_tpu.parallel.dist_lm import _dist_lm_runner
+
+    store, arrs, cap_poses, tag_poses = problem
+    config = LMConfig(max_iterations=2)
+    mesh = block_mesh(2)
+    before = _dist_lm_runner.cache_info().hits
+    for _ in range(2):
+        lm_solve_dist(
+            mesh, arrs.camera, cap_poses, tag_poses, arrs.cap_idx,
+            arrs.tag_idx, arrs.corners, arrs.block_mask, np.asarray(True),
+            arrs.cap_mask, arrs.tag_mask, aruco_size=ARUCO_SIZE,
+            config=config,
+        )
+    assert _dist_lm_runner.cache_info().hits > before
+
+
 def test_prepare_tag_shards_structure(problem):
     """Tag partition invariants: every tag lands in exactly one shard, every
     active block lands in its tag's shard slice, row maps invert."""
