@@ -256,6 +256,11 @@ def _config(args):
         cfg = dataclasses.replace(
             cfg, dist=dataclasses.replace(cfg.dist, num_devices=n_dev)
         )
+    if getattr(args, "distortion", False):
+        cfg = dataclasses.replace(
+            cfg,
+            camera=dataclasses.replace(cfg.camera, enable_distortion=True),
+        )
     prof = getattr(args, "profile", "")
     if prof:
         cfg = dataclasses.replace(
@@ -307,6 +312,10 @@ def main(argv=None) -> int:
         sp.add_argument("--profile", default="",
                         help="write a jax profiler trace (xprof/tensorboard"
                              ") of the solve to this directory")
+        sp.add_argument("--distortion", action="store_true",
+                        help="calibrate radial distortion l1,l2 (the model "
+                             "the reference carries but leaves disabled); "
+                             "use on both map and localize runs")
 
     sp = sub.add_parser("map", help="batch mapping (≙ ar_slam_cli)")
     sp.add_argument("inputs", nargs="+",

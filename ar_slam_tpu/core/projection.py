@@ -45,14 +45,19 @@ def tag_corners_local(aruco_size, dtype=jnp.float32):
     return jnp.concatenate([xy, jnp.zeros((4, 1), dtype)], axis=-1)
 
 
-def project_corners(camera, inv_cap_pose, tag_pose, aruco_size):
+def project_corners(camera, inv_cap_pose, tag_pose, aruco_size,
+                    distortion: bool = False):
     """Project all 4 corners of one tag into one capture.
 
     Args:
-      camera: (3,) ``[focal, l1, l2]`` (l1, l2 unused — parity).
+      camera: (3,) ``[focal, l1, l2]``.
       inv_cap_pose: (6,) inverse capture pose ``[t(3), axis-angle(3)]``.
       tag_pose: (6,) tag pose ``[t(3), axis-angle(3)]``.
       aruco_size: scalar tag edge length (meters).
+      distortion: static switch for the radial model the reference carries
+        but leaves commented out (ar_slam_util.cpp:164-171):
+        ``uv = focal * (1 + l1 r^2 + l2 r^4) * (x/z, y/z)``.  Off (parity)
+        by default — then l1, l2 have zero gradient and stay fixed.
 
     Returns:
       (4, 2) projected corner positions in centered pixel coordinates.
@@ -76,10 +81,15 @@ def project_corners(camera, inv_cap_pose, tag_pose, aruco_size):
     # poison reductions with inf/NaN (the LM mask zeroes them afterwards).
     z = corners_c[:, 2:3]
     z_safe = jnp.where(jnp.abs(z) < 1e-9, jnp.where(z < 0, -1e-9, 1e-9), z)
-    return focal * corners_c[:, 0:2] / z_safe
+    xy = corners_c[:, 0:2] / z_safe
+    if distortion:
+        r2 = jnp.sum(xy * xy, axis=-1, keepdims=True)
+        xy = xy * (1.0 + r2 * (camera[1] + camera[2] * r2))
+    return focal * xy
 
 
-def block_residual(camera, inv_cap_pose, tag_pose, observed, aruco_size):
+def block_residual(camera, inv_cap_pose, tag_pose, observed, aruco_size,
+                   distortion: bool = False):
     """8-vector reprojection residual for one block (one tag in one capture):
     projected − observed, interleaved (x0, y0, x1, y1, ...) like the
     reference ArucoReprojectionError (ar_slam_util.cpp:192-216).
@@ -87,7 +97,8 @@ def block_residual(camera, inv_cap_pose, tag_pose, observed, aruco_size):
     Args:
       observed: (4, 2) detected corner positions, centered coords.
     """
-    projected = project_corners(camera, inv_cap_pose, tag_pose, aruco_size)
+    projected = project_corners(camera, inv_cap_pose, tag_pose, aruco_size,
+                                distortion)
     return (projected - observed).reshape(8)
 
 

@@ -54,7 +54,7 @@ def _psum_tree(tree):
 
 
 def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
-                           jacobi_scaling=True):
+                           jacobi_scaling=True, distortion=False):
     """Build (lin_fn, quality_fn, solve_fn_factory) for lm_core with tags
     sharded over the mesh.
 
@@ -87,6 +87,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
             til = _local_tags(ti)
             r, jc, jp, jt = linearize(
                 camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
+                distortion,
             )
             cap_eqs = _psum_tree(assemble_cap_side(r, jc, jp, ci, n_caps))
             tag_side = assemble_tag_side(r, jc, jp, jt, ci, til, n_caps,
@@ -117,6 +118,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
             til = _local_tags(ti)
             r_new = residuals_only(
                 new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
+                distortion,
             )
             new_cost = jax.lax.psum(0.5 * jnp.sum(r_new * r_new), BLOCK_AXIS)
             jd = (
@@ -251,6 +253,7 @@ def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config):
     re-tracing (axon remote compiles are 20-400 s)."""
     make_lin, make_quality, make_solve = make_tag_sharded_hooks(
         mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
+        config.enable_distortion,
     )
 
     @jax.jit
@@ -333,6 +336,7 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode):
         )
         make_lin, make_quality, make_solve = make_tag_sharded_hooks(
             mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
+            config.enable_distortion,
         )
         lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
         quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)

@@ -133,13 +133,15 @@ def _maybe_calibrate_focal(store: MapStore, config) -> None:
     store.camera.focal_calibrated = True
 
 
-def _lm_config(cfg) -> LMConfig:
+def _lm_config(cfg, camera_cfg=None) -> LMConfig:
     return LMConfig(
         max_iterations=cfg.max_iterations,
         initial_lambda=cfg.initial_lambda,
         function_tolerance=cfg.function_tolerance,
         parameter_tolerance=cfg.parameter_tolerance,
         jacobi_scaling=cfg.jacobi_scaling,
+        enable_distortion=bool(getattr(camera_cfg, "enable_distortion",
+                                       False)),
     )
 
 
@@ -154,10 +156,10 @@ class _WaveRunner:
     """
 
     def __init__(self, store: MapStore, solver_cfg, aruco_size, dtype,
-                 assemble_fn=None, mesh=None):
+                 assemble_fn=None, mesh=None, camera_cfg=None):
         self.store = store
         self.aruco_size = aruco_size
-        self.config = _lm_config(solver_cfg)
+        self.config = _lm_config(solver_cfg, camera_cfg)
         self.seed_mode = getattr(solver_cfg, "seed_mode", "hybrid")
         self.assemble_fn = assemble_fn
         self.mesh = mesh
@@ -339,7 +341,7 @@ def solve(store: MapStore, config=None, dtype=None, assemble_fn=None,
         )
 
     runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
-                         assemble_fn, mesh=mesh)
+                         assemble_fn, mesh=mesh, camera_cfg=config.camera)
     every = max(getattr(config.solver, "optimize_every", 1), 1)
     for i, cap_index in enumerate(order):
         seed_block = None
@@ -373,7 +375,7 @@ def solve_incremental(store: MapStore, config=None, dtype=None,
     _maybe_calibrate_focal(store, config)
 
     runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
-                         assemble_fn, mesh=mesh)
+                         assemble_fn, mesh=mesh, camera_cfg=config.camera)
     # replay already-solved captures into the runner's active set without
     # re-optimizing (their poses came from the export)
     solved = [c.index for c in store.captures

@@ -45,6 +45,10 @@ class LMConfig(NamedTuple):
     # terminate when damping grows past this (every step rejected — the
     # trust region has collapsed; ceres' "trust region radius too small")
     stall_lambda: float = 1e12
+    # radial distortion model 1 + l1 r^2 + l2 r^4 (the reference carries
+    # l1, l2 but leaves the model commented out, ar_slam_util.cpp:164-171);
+    # off = parity (l1, l2 have zero gradient and stay fixed)
+    enable_distortion: bool = False
 
 
 class LMState(NamedTuple):
@@ -59,13 +63,13 @@ class LMState(NamedTuple):
 
 
 def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
-                     n_caps, n_tags):
+                     n_caps, n_tags, distortion=False):
     """Single-device block-parallel hooks over a padded block table."""
 
     def lin_fn(camera, cap_poses, tag_poses):
         r, jc, jp, jt = linearize(
             camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            block_mask, aruco_size,
+            block_mask, aruco_size, distortion,
         )
         eqs = assemble(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
         cost = 0.5 * jnp.sum(r * r)
@@ -75,7 +79,7 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
         r, jc, jp, jt = aux
         r_new = residuals_only(
             new_camera, new_caps, new_tags, cap_idx, tag_idx, corners,
-            block_mask, aruco_size,
+            block_mask, aruco_size, distortion,
         )
         new_cost = 0.5 * jnp.sum(r_new * r_new)
         jd = (
@@ -240,7 +244,8 @@ def lm_solve(
     n_caps = cap_poses.shape[0]
     n_tags = tag_poses.shape[0]
     lin_fn, quality_fn = make_block_hooks(
-        cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps, n_tags
+        cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps, n_tags,
+        distortion=config.enable_distortion,
     )
     if assemble_fn is not None:
         base_lin = lin_fn

@@ -58,7 +58,8 @@ def localize_kernel(
 
     def residual_fn(pose, tag_idx, corners, mask):
         def one(t, crn):
-            return block_residual(camera, pose, tag_poses[t], crn, aruco_size)
+            return block_residual(camera, pose, tag_poses[t], crn, aruco_size,
+                                  config.enable_distortion)
 
         r = jax.vmap(one)(tag_idx, corners)  # (K, 8)
         return jnp.where(mask[:, None] > 0, r, 0.0).reshape(-1)  # (K*8,)
@@ -195,7 +196,7 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
         jnp.asarray(q_mask),
         jnp.asarray(q_seed),
         aruco_size=config.aruco_size,
-        config=_lm_config(config.solver),
+        config=_lm_config(config.solver, config.camera),
         seed_mode=config.solver.seed_mode,
     )
     poses = np.asarray(poses)

@@ -17,12 +17,14 @@ import jax.numpy as jnp
 from ar_slam_tpu.core.projection import block_residual
 
 
-def _one_block(camera, cap_pose, tag_pose, corners, aruco_size):
-    return block_residual(camera, cap_pose, tag_pose, corners, aruco_size)
+def _one_block(camera, cap_pose, tag_pose, corners, aruco_size,
+               distortion=False):
+    return block_residual(camera, cap_pose, tag_pose, corners, aruco_size,
+                          distortion)
 
 
 def linearize(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-              block_mask, aruco_size):
+              block_mask, aruco_size, distortion=False):
     """Residuals + Jacobian blocks for every block in the padded table.
 
     Returns:
@@ -33,7 +35,8 @@ def linearize(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
     """
 
     def res(camera, cap_pose, tag_pose, corners):
-        r = _one_block(camera, cap_pose, tag_pose, corners, aruco_size)
+        r = _one_block(camera, cap_pose, tag_pose, corners, aruco_size,
+                       distortion)
         return r, r  # aux carries the primal out of jacfwd for free
 
     def res_and_jac(cap_i, tag_i, crn):
@@ -57,20 +60,20 @@ def linearize(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
 
 
 def residuals_only(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-                   block_mask, aruco_size):
+                   block_mask, aruco_size, distortion=False):
     """(B, 8) masked residuals without Jacobians (for cost evaluation)."""
 
     def res(cap_i, tag_i, crn):
         return _one_block(camera, cap_poses[cap_i], tag_poses[tag_i], crn,
-                          aruco_size)
+                          aruco_size, distortion)
 
     r = jax.vmap(res)(cap_idx, tag_idx, corners)
     return jnp.where(block_mask[:, None], r, 0.0)
 
 
 def total_cost(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-               block_mask, aruco_size):
+               block_mask, aruco_size, distortion=False):
     """0.5 * sum of squared residuals (ceres cost convention)."""
     r = residuals_only(camera, cap_poses, tag_poses, cap_idx, tag_idx,
-                       corners, block_mask, aruco_size)
+                       corners, block_mask, aruco_size, distortion)
     return 0.5 * jnp.sum(r * r)

@@ -14,7 +14,8 @@ import numpy as np
 from ar_slam_tpu.graph.store import MapStore
 
 
-def _project_np(camera, inv_cap_pose, tag_pose, aruco_size):
+def _project_np(camera, inv_cap_pose, tag_pose, aruco_size,
+                distortion=False):
     """NumPy mirror of core.projection.project_corners (kept tiny; used only
     to generate synthetic data without device round trips)."""
     from scipy.spatial.transform import Rotation
@@ -25,7 +26,11 @@ def _project_np(camera, inv_cap_pose, tag_pose, aruco_size):
     p_c = Rotation.from_rotvec(inv_cap_pose[3:6]).apply(p_w + inv_cap_pose[0:3])
     if np.any(p_c[:, 2] <= 0.1):
         return None
-    return camera[0] * p_c[:, 0:2] / p_c[:, 2:3]
+    xy = p_c[:, 0:2] / p_c[:, 2:3]
+    if distortion:
+        r2 = np.sum(xy * xy, axis=-1, keepdims=True)
+        xy = xy * (1.0 + r2 * (camera[1] + camera[2] * r2))
+    return camera[0] * xy
 
 
 def make_synthetic_map(
@@ -39,6 +44,7 @@ def make_synthetic_map(
     noise_px: float = 0.0,
     seed: int = 0,
     min_tags_per_cap: int = 2,
+    radial: tuple[float, float] = (0.0, 0.0),
 ) -> tuple[MapStore, dict]:
     """Generate a MapStore with observations and return (store, ground_truth).
 
@@ -78,7 +84,8 @@ def make_synthetic_map(
         cap_poses[c, 0:3] = -np.array([cx, cy, cz])  # t_inv = -position
         cap_poses[c, 3:6] = rot  # R_inv ~ Rx(pi): world -> camera
 
-    camera = np.array([focal, 0.0, 0.0])
+    camera = np.array([focal, radial[0], radial[1]])
+    distort = any(radial)
     store = MapStore(initial_focal=focal)
     store.camera.size = image_size
     half_w, half_h = image_size[0] / 2, image_size[1] / 2
@@ -86,7 +93,8 @@ def make_synthetic_map(
     for c in range(n_caps):
         dets = []
         for t in range(n_tags):
-            uv = _project_np(camera, cap_poses[c], tag_poses[t], aruco_size)
+            uv = _project_np(camera, cap_poses[c], tag_poses[t], aruco_size,
+                             distort)
             if uv is None:
                 continue
             if np.any(np.abs(uv[:, 0]) > half_w) or np.any(np.abs(uv[:, 1]) > half_h):

@@ -198,3 +198,49 @@ def test_synthetic_noise_rmse_matches_noise_level():
     store, _ = make_synthetic_map(n_tags=12, n_caps=8, seed=6, noise_px=0.5)
     summary = solve_batch(store, ArSlamConfig())
     assert 0.1 < summary["rmse"] < 1.0, summary
+
+
+def test_radial_distortion_calibration():
+    """The optional radial model (reference's commented-out TODO,
+    ar_slam_util.cpp:164-171): observations generated with l1, l2 != 0 are
+    fit to sub-0.1px only when enable_distortion is on, and the solver
+    recovers the radial coefficients; the parity default leaves l1, l2
+    untouched at zero."""
+    from ar_slam_tpu.graph.arrays import export_arrays
+
+    l1, l2 = -0.15, 0.05
+    store, truth = make_synthetic_map(
+        n_tags=12, n_caps=6, seed=21, noise_px=0.0, radial=(l1, l2),
+        focal=3000.0,
+    )
+    for cap in store.captures:
+        cap.inv_pose[:] = truth["cap_poses"][int(cap.uid.split("_")[1])]
+    for tag in store.arucos:
+        tag.pose[:] = truth["tag_poses"][int(tag.id.split("_")[-1])]
+    arrs = export_arrays(store)
+    # start from truth poses, zero radial — only the camera must move
+    camera0 = np.array([3000.0, 0.0, 0.0])
+
+    def solve(enable):
+        config = LMConfig(max_iterations=60, enable_distortion=enable)
+        return lm_solve(
+            jnp.asarray(camera0), jnp.asarray(arrs.cap_poses),
+            jnp.asarray(arrs.tag_poses), jnp.asarray(arrs.cap_idx),
+            jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
+            jnp.asarray(arrs.block_mask), jnp.asarray(True),
+            jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+            aruco_size=0.0635, config=config,
+        )
+
+    cam_on, _, _, info_on = solve(True)
+    rmse_on = float(np.sqrt(2 * float(info_on["cost"]) / (8 * arrs.n_blocks)))
+    assert rmse_on < 0.1
+    np.testing.assert_allclose(float(cam_on[1]), l1, atol=0.02)
+    np.testing.assert_allclose(float(cam_on[2]), l2, atol=0.02)
+
+    cam_off, _, _, info_off = solve(False)
+    rmse_off = float(np.sqrt(2 * float(info_off["cost"]) / (8 * arrs.n_blocks)))
+    # without the model the distorted observations cannot be fit as well,
+    # and l1, l2 stay exactly zero (zero gradient — reference parity)
+    assert rmse_off > 5 * max(rmse_on, 1e-6)
+    assert float(cam_off[1]) == 0.0 and float(cam_off[2]) == 0.0
