@@ -1,0 +1,73 @@
+"""End-to-end mapping throughput: captures mapped per second through the
+full wave driver (detection excluded; pre-detected observations, like the
+reference's pre-processed-detections mode).
+
+The reference re-optimizes the whole growing problem after every capture
+(ar_slam_util.cpp:845) — O(n) full LM solves.  solver.optimize_every=k
+keeps that contract loosely (seed every wave, optimize every kth) and is
+the production knob this harness sweeps.
+
+Usage: python tools/map_bench.py [--tags 200] [--caps 100]
+       [--every 1 4 16] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tags", type=int, default=200)
+    ap.add_argument("--caps", type=int, default=100)
+    ap.add_argument("--every", type=int, nargs="+", default=[1, 4, 16])
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, ".")
+    from ar_slam_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    from ar_slam_tpu.config import ArSlamConfig
+    from ar_slam_tpu.solve.batch import solve
+    from ar_slam_tpu.utils.synthetic import make_synthetic_map
+
+    results = {}
+    for every in args.every:
+        store, _ = make_synthetic_map(n_tags=args.tags, n_caps=args.caps,
+                                      seed=0, noise_px=0.3)
+        cfg = ArSlamConfig()
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(
+                cfg.solver, optimize_every=every,
+                max_iterations=args.iters))
+        n = len(store.captures)
+        t0 = time.time()
+        out = solve(store, cfg)
+        wall = time.time() - t0
+        results[every] = {
+            "caps_per_s": round(n / wall, 3),
+            "wall_s": round(wall, 2),
+            "rmse_px": round(out.get("rmse", float("nan")), 4),
+            "captures": n,
+        }
+        print(f"optimize_every={every}: {n} caps in {wall:.1f}s "
+              f"({n / wall:.2f} caps/s), rmse {out.get('rmse', 0):.3f} px",
+              file=sys.stderr)
+
+    print(json.dumps({"map_throughput": results,
+                      "tags": args.tags, "caps": args.caps}))
+
+
+if __name__ == "__main__":
+    main()
