@@ -162,6 +162,21 @@ def test_cli_detect_json(capsys):
     assert ids == [f"aruco_4X4_50_{i}" for i in (18, 20, 21, 22, 23)]
 
 
+def test_cli_map_parity_mode(tmp_path):
+    """--parity restores reference behavior: fixed focal init 3000 +
+    frontal-only seeding.  The trust-region solver still escapes the bad
+    focal basin from that start (3000 -> ~760 on the demo photos), so the
+    parity map must be valid and converge near the true focal too."""
+    out = tmp_path / "map_parity.yaml"
+    rc = cli_main(["map", *IMAGES[:3], "--parity", "-o", str(out)])
+    assert rc == 0
+    store = MapStore()
+    load_yaml(store, str(out))
+    assert len(store.captures) == 3
+    assert len(store.arucos) == 6
+    assert 500 < store.camera.params[0] < 1200
+
+
 def test_cli_audit(demo_map, capsys):
     """≙ compareProjections (ar_slam_util.cpp:576-589): every block of a
     solved demo map audits at sub-pixel reprojection error."""
