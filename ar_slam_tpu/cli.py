@@ -261,6 +261,12 @@ def _config(args):
             cfg,
             camera=dataclasses.replace(cfg.camera, enable_distortion=True),
         )
+    max_side = getattr(args, "max_side", 0)
+    if max_side:
+        cfg = dataclasses.replace(
+            cfg,
+            detect=dataclasses.replace(cfg.detect, max_side=max_side),
+        )
     prof = getattr(args, "profile", "")
     if prof:
         cfg = dataclasses.replace(
@@ -316,6 +322,10 @@ def main(argv=None) -> int:
                         help="calibrate radial distortion l1,l2 (the model "
                              "the reference carries but leaves disabled); "
                              "use on both map and localize runs")
+        sp.add_argument("--max-side", type=int, default=0,
+                        help="detection working resolution: downscale "
+                             "larger images before the detector, corners "
+                             "reported at full resolution (0 = off)")
 
     sp = sub.add_parser("map", help="batch mapping (≙ ar_slam_cli)")
     sp.add_argument("inputs", nargs="+",

@@ -72,6 +72,11 @@ class DetectConfig:
     min_marker_perimeter_rate: float = 0.03
     max_marker_perimeter_rate: float = 4.0
     max_candidates: int = 64  # fixed candidate budget per image (TPU static shape)
+    # detection working resolution: images whose longest side exceeds this
+    # are downscaled before the detector and corners rescaled back
+    # (sub-pixel cost ~scale/2 px; bounds per-shape compile time and keeps
+    # huge sensors on the fast compiled path).  0 = always full resolution.
+    max_side: int = 0
     border_bits: int = 1
     max_hamming: dict[str, int] = field(
         default_factory=lambda: {"4X4_50": 0, "5X5_100": 2}

@@ -84,8 +84,33 @@ class ArSlamEngine:
         images = np.stack([c.image for c in caps])
         h, w = images.shape[1:]
         dict_names = tuple(self.config.detect.dictionaries)
+        # optional working resolution: detect on a downscaled copy, report
+        # corners in full-resolution centered coordinates (graph/solver
+        # always see the true sensor geometry)
+        max_side = self.config.detect.max_side
+        scale = 1.0
+        if max_side and max(h, w) > max_side:
+            scale = max_side / max(h, w)
+            from PIL import Image as _Image
+
+            small = [
+                np.asarray(_Image.fromarray(img).resize(
+                    (int(round(w * scale)), int(round(h * scale))),
+                    _Image.BILINEAR))
+                for img in images
+            ]
+            det_images = np.stack(small)
+            logger.info("detection at %dx%d (scale %.3f) for %dx%d input",
+                        det_images.shape[2], det_images.shape[1], scale, w, h)
+        else:
+            det_images = images
         with self.metrics.timer("detect"):
-            per_image = self._run_detector(images, dict_names)
+            per_image = self._run_detector(det_images, dict_names)
+        if scale != 1.0:
+            per_image = [
+                [(tid, corners / scale) for tid, corners in dets]
+                for dets in per_image
+            ]
         self.metrics.count("images_detected", len(caps))
         self.metrics.count(
             "detections", sum(len(d) for d in per_image)
@@ -98,6 +123,11 @@ class ArSlamEngine:
                                cap.path, len(dets))
             out.append((cap.uid, dets, (w, h), cap.path))
             if self.event_log:
+                # ≙ BagRecorder's captures stream (bag_recorder.cpp:73-83):
+                # the raw-capture record (path, not pixels) + detections
+                self.event_log.record(
+                    "capture", uid=cap.uid, path=cap.path, width=w, height=h,
+                )
                 self.event_log.record(
                     "detections", uid=cap.uid, path=cap.path,
                     width=w, height=h,

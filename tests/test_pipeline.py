@@ -205,6 +205,38 @@ def test_cli_annotate(demo_map, tmp_path):
     assert len(outs) == 3
 
 
+def test_detect_max_side_working_resolution(tmp_path):
+    """detect.max_side: a 2x-upscaled photo is detected at the original
+    working resolution, with corners reported in FULL-resolution centered
+    coordinates (2x the original fixture corners)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from ar_slam_tpu.config import ArSlamConfig
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    im = Image.open(IMAGES[0]).convert("RGB")
+    big = im.resize((im.width * 2, im.height * 2), Image.BILINEAR)
+    big_path = tmp_path / "img1_2x.jpg"
+    big.save(big_path, quality=95)
+
+    cfg = ArSlamConfig()
+    cfg = dataclasses.replace(
+        cfg, detect=dataclasses.replace(
+            cfg.detect, max_side=max(im.width, im.height)))
+    engine = ArSlamEngine(config=cfg, use_tpu_detector=False)
+    [(uid, dets, (w, h), _)] = engine.detect_images([str(big_path)])
+    assert (w, h) == (im.width * 2, im.height * 2)
+
+    ref_engine = ArSlamEngine(use_tpu_detector=False)
+    [(_, ref_dets, _, _)] = ref_engine.detect_images([IMAGES[0]])
+    assert sorted(t for t, _ in dets) == sorted(t for t, _ in ref_dets)
+    ref = {t: c for t, c in ref_dets}
+    for t, c in dets:
+        np.testing.assert_allclose(c, 2.0 * ref[t], atol=3.0)
+
+
 def test_load_images_service(tmp_path):
     """≙ LoadImages.srv contract (img_fns[] -> success+message) over the
     unix-socket control plane, including the empty-request error the client
