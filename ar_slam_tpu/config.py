@@ -42,7 +42,8 @@ class SolverConfig:
     max_lambda: float = 1e32
     function_tolerance: float = 1e-6  # ceres default
     parameter_tolerance: float = 1e-8  # ceres default
-    gradient_tolerance: float = 1e-10  # ceres default
+    # (ceres' gradient_tolerance test is not implemented; convergence is
+    # by function/parameter tolerances + trust-region stall detection)
     # Jacobi (column-norm) scaling of the normal equations, as ceres does.
     jacobi_scaling: bool = True
     # Fix the gauge of the seed capture.  The reference leaves the gauge free

@@ -137,6 +137,8 @@ def _lm_config(cfg, camera_cfg=None) -> LMConfig:
     return LMConfig(
         max_iterations=cfg.max_iterations,
         initial_lambda=cfg.initial_lambda,
+        min_lambda=cfg.min_lambda,
+        max_lambda=cfg.max_lambda,
         function_tolerance=cfg.function_tolerance,
         parameter_tolerance=cfg.parameter_tolerance,
         jacobi_scaling=cfg.jacobi_scaling,
