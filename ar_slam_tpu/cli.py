@@ -261,6 +261,12 @@ def _config(args):
             cfg,
             camera=dataclasses.replace(cfg.camera, enable_distortion=True),
         )
+    every = getattr(args, "optimize_every", 0)
+    if every and every > 1:
+        cfg = dataclasses.replace(
+            cfg,
+            solver=dataclasses.replace(cfg.solver, optimize_every=every),
+        )
     max_side = getattr(args, "max_side", 0)
     if max_side:
         cfg = dataclasses.replace(
@@ -326,6 +332,11 @@ def main(argv=None) -> int:
                         help="detection working resolution: downscale "
                              "larger images before the detector, corners "
                              "reported at full resolution (0 = off)")
+        sp.add_argument("--optimize-every", type=int, default=0,
+                        help="run the full optimization only every Nth "
+                             "capture wave (always the last) instead of "
+                             "the reference's per-capture re-solve; large "
+                             "batch-mapping speedup at equal final RMSE")
 
     sp = sub.add_parser("map", help="batch mapping (≙ ar_slam_cli)")
     sp.add_argument("inputs", nargs="+",
