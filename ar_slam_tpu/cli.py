@@ -273,6 +273,23 @@ def _config(args):
             cfg,
             detect=dataclasses.replace(cfg.detect, max_side=max_side),
         )
+    dicts = getattr(args, "dictionaries", "")
+    if dicts:
+        names = tuple(d.strip() for d in dicts.split(",") if d.strip())
+        from ar_slam_tpu.detect.dictionaries import DICT_NAMES
+
+        for n in names:
+            if n not in DICT_NAMES:
+                raise SystemExit(
+                    f"unknown dictionary {n!r}; choose from {DICT_NAMES}")
+        cfg = dataclasses.replace(
+            cfg,
+            detect=dataclasses.replace(cfg.detect, dictionaries=names),
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                expected_detector_types=tuple(f"aruco_{n}" for n in names),
+            ),
+        )
     prof = getattr(args, "profile", "")
     if prof:
         cfg = dataclasses.replace(
@@ -328,6 +345,11 @@ def main(argv=None) -> int:
                         help="calibrate radial distortion l1,l2 (the model "
                              "the reference carries but leaves disabled); "
                              "use on both map and localize runs")
+        sp.add_argument("--dictionaries", default="",
+                        help="comma-separated dictionaries to detect "
+                             "(default 4X4_50,5X5_100; also 6X6_250 — the "
+                             "three the reference's aruco_dict param "
+                             "accepts)")
         sp.add_argument("--max-side", type=int, default=0,
                         help="detection working resolution: downscale "
                              "larger images before the detector, corners "

@@ -80,7 +80,7 @@ class DetectConfig:
     max_side: int = 0
     border_bits: int = 1
     max_hamming: dict[str, int] = field(
-        default_factory=lambda: {"4X4_50": 0, "5X5_100": 2}
+        default_factory=lambda: {"4X4_50": 0, "5X5_100": 2, "6X6_250": 3}
     )
 
 

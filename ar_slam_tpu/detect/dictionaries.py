@@ -1,4 +1,8 @@
-"""Aruco dictionary bit tables (4X4_50, 5X5_100) with rotations.
+"""Aruco dictionary bit tables (4X4_50, 5X5_100, 6X6_250) with rotations.
+
+These are the three dictionaries the reference's ``aruco_dict`` detector
+parameter accepts (aruco_detector.cpp:59-78); the pipeline default runs the
+first two concurrently (ar_slam_launch.py:75-95).
 
 Tables are committed as ``dictionaries.npz`` (generated once by
 tools/gen_dictionaries.py from the public dictionary constants); this module
@@ -14,7 +18,7 @@ import os
 
 import numpy as np
 
-DICT_NAMES = ("4X4_50", "5X5_100")
+DICT_NAMES = ("4X4_50", "5X5_100", "6X6_250")
 
 _NPZ = os.path.join(os.path.dirname(__file__), "dictionaries.npz")
 

@@ -369,5 +369,6 @@ def _default_hamming(d) -> int:
     """Default error-correction budget: 0 bits for 4x4 (its 16-bit codes sit
     close together — cv::aruco's errorCorrectionRate*maxCorrectionBits also
     truncates to 0 — and every real 4x4 tag on the demo photos decodes at
-    hamming 0 while every false positive needs 1), 2 bits for 5x5."""
-    return 0 if d.marker_size <= 4 else 2
+    hamming 0 while every false positive needs 1), 2 bits for 5x5, 3 bits
+    for 6x6 (= cv::aruco's default 0.6 * maxCorrectionBits=5)."""
+    return {4: 0, 5: 2}.get(d.marker_size, 3)

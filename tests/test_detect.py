@@ -163,3 +163,36 @@ def test_adaptive_threshold_marks_dark():
     b = adaptive_threshold(img, win=23, c=7.0)
     assert b[30, 30]
     assert not b[5, 5]
+
+
+def test_detect_6x6_250_frontal_and_warp():
+    """6X6_250 — the third dictionary the reference's aruco_dict accepts
+    (aruco_detector.cpp:59-78)."""
+    marker = render_marker("6X6_250", 123, 160)  # 20 px/cell
+    canvas = np.full((480, 640), 200, dtype=np.uint8)
+    quad = np.array([[180, 120], [420, 150], [400, 360], [200, 330]], float)
+    place_marker(canvas, marker, quad)
+    dets = detect_markers(canvas, dict_names=("6X6_250",), refine=False)
+    assert len(dets) == 1
+    assert dets[0].id == "aruco_6X6_250_123"
+    assert np.abs(dets[0].corners - quad).max() < 2.0
+
+
+def test_detect_6x6_matches_cv2():
+    """Rendered 6x6 markers decode to the same ids as cv::aruco."""
+    cv2 = pytest.importorskip("cv2")
+    canvas = np.full((480, 640), 210, dtype=np.uint8)
+    placements = [
+        (17, np.array([[60, 60], [220, 60], [220, 220], [60, 220]], float)),
+        (249, np.array([[360, 240], [540, 260], [530, 430], [350, 420]],
+                       float)),
+    ]
+    for mid, quad in placements:
+        place_marker(canvas, render_marker("6X6_250", mid, 160), quad)
+    dets = detect_markers(canvas, dict_names=("6X6_250",))
+    got = sorted(d.id for d in dets)
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_6X6_250)
+    det = cv2.aruco.ArucoDetector(d, cv2.aruco.DetectorParameters())
+    corners, ids, _ = det.detectMarkers(canvas)
+    cv_ids = sorted(f"aruco_6X6_250_{int(i)}" for i in np.ravel(ids))
+    assert got == cv_ids == ["aruco_6X6_250_17", "aruco_6X6_250_249"]

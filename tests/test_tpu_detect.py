@@ -143,3 +143,17 @@ def test_demo_own_detections_map_quality():
         store.add_detections(f"cap_{i}", dets, (w, h))
     summary = solve_batch(store, ArSlamConfig(), dtype=np.float64)
     assert summary["rmse"] < 0.4, summary
+
+
+def test_rendered_batch_6x6():
+    """The batched device detector decodes 6X6_250 markers (grid size and
+    dictionary table are data, not code — same kernel)."""
+    canvas = np.full((480, 640), 200, dtype=np.uint8)
+    quad = np.array([[170, 110], [410, 140], [395, 355], [185, 335]], float)
+    place_marker(canvas, render_marker("6X6_250", 201, 160), quad)
+    out = detect_batch(jnp.asarray(canvas[None]), dict_names=("6X6_250",))
+    ids = np.asarray(out["6X6_250"]["ids"][0])
+    valid = np.asarray(out["6X6_250"]["valid"][0])
+    assert list(ids[valid]) == [201]
+    corners = np.asarray(out["6X6_250"]["corners"][0][valid][0])
+    assert np.abs(corners - quad).max() < 2.5

@@ -1,10 +1,11 @@
 """Generate Aruco dictionary bit tables as committed data.
 
-The standard DICT_4X4_50 / DICT_5X5_100 marker bit patterns are public
-constants; we materialize them once (via OpenCV's renderer, available in
-this image) into an .npz so the engine has no runtime OpenCV dependency.
-Each marker is rendered at (markerSize + 2*border) pixels and the inner
-bit grid read off directly.
+The standard DICT_4X4_50 / DICT_5X5_100 / DICT_6X6_250 marker bit patterns
+(the three dictionaries the reference's aruco_dict parameter accepts,
+aruco_detector.cpp:59-78) are public constants; we materialize them once
+(via OpenCV's renderer, available in this image) into an .npz so the
+engine has no runtime OpenCV dependency.  Each marker is rendered at
+(markerSize + 2*border) pixels and the inner bit grid read off directly.
 """
 
 import os
@@ -15,6 +16,7 @@ import numpy as np
 DICTS = {
     "4X4_50": (aruco.DICT_4X4_50, 4, 50),
     "5X5_100": (aruco.DICT_5X5_100, 5, 100),
+    "6X6_250": (aruco.DICT_6X6_250, 6, 250),
 }
 
 
