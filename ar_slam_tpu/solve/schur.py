@@ -91,6 +91,138 @@ def assemble_tag_side(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags):
     return hct, hpt, htt, g_t
 
 
+class GroupedEqs(NamedTuple):
+    """Normal-equation blocks in the tag-grouped layout: the cap/tag
+    coupling lives directly as the per-tag slab ``wt_raw`` (T, Nr, 6) —
+    never materialized as the dense (6C, 6T) scatter the flat layout needs.
+    Field names of the camera/capture blocks match NormalEqs so
+    cap_scale_vectors / reduced_solve work on either."""
+
+    hcc: jnp.ndarray  # (3, 3)
+    hcp: jnp.ndarray  # (C, 3, 6)
+    hpp: jnp.ndarray  # (C, 6, 6)
+    wt_raw: jnp.ndarray  # (T, 3 + 6C, 6) unscaled coupling slab
+    htt: jnp.ndarray  # (T, 6, 6)
+    g_c: jnp.ndarray  # (3,)
+    g_p: jnp.ndarray  # (C, 6)
+    g_t: jnp.ndarray  # (T, 6)
+
+
+def group_blocks_by_tag(tag_idx, block_mask, n_tags: int, s_max: int):
+    """Device-side grouping of the flat block table into (T, S) slots.
+
+    Returns (gather (T*S,) int32 source rows, mask (T*S,) bool).  Runs ONCE
+    per solve (outside the LM loop); blocks beyond ``s_max`` observations of
+    one tag are dropped — callers must size s_max to the true maximum.
+
+    TPU note: this is the ONLY scatter in the grouped pipeline, amortized
+    over all LM iterations (the flat pipeline re-paid a (6C, 6T) scatter
+    every relinearization — 6+ ms at 500 tags).
+    """
+    b = tag_idx.shape[0]
+    key = jnp.where(block_mask, tag_idx, n_tags).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    pos = jnp.arange(b, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    slot = pos - start_pos
+    valid = (sk < n_tags) & (slot < s_max)
+    dest = jnp.where(valid, sk * s_max + slot, n_tags * s_max)  # OOB drops
+    gather = jnp.zeros((n_tags * s_max,), jnp.int32)
+    gather = gather.at[dest].set(order, mode="drop")
+    mask = jnp.zeros((n_tags * s_max,), bool).at[dest].set(True, mode="drop")
+    return gather, mask
+
+
+def assemble_grouped(r, jc, jp, jt, cap_idx, n_caps: int, n_tags: int,
+                     s_max: int) -> GroupedEqs:
+    """Assemble normal equations from a TAG-GROUPED block table — zero
+    segment ops in the hot path.
+
+    Inputs are (T*S, ...) with row t*S+s belonging to tag t (masked rows
+    zero).  Tag-side blocks reduce by plain reshape-sums; capture-side
+    blocks and the coupling slab reduce through a {0,1} capture one-hot on
+    the MXU (measured 10-70x faster than segment_sum/scatter on TPU for the
+    500-tag problem).
+    """
+    dtype = r.dtype
+    oc = (cap_idx[:, None] == jnp.arange(n_caps, dtype=jnp.int32)[None, :]
+          ).astype(dtype)  # (T*S, C); masked rows contribute 0 via j==0
+
+    hcc = jnp.einsum("bri,brj->ij", jc, jc)
+    g_c = jnp.einsum("bri,br->i", jc, r)
+    prod_cp = jnp.einsum("bri,brj->bij", jc, jp)
+    hcp = jnp.einsum("bij,bc->cij", prod_cp, oc)
+    prod_pp = jnp.einsum("bri,brj->bij", jp, jp)
+    hpp = jnp.einsum("bij,bc->cij", prod_pp, oc)
+    g_p = jnp.einsum("bi,bc->ci", jnp.einsum("bri,br->bi", jp, r), oc)
+
+    hct = jnp.einsum("bri,brj->bij", jc, jt).reshape(
+        n_tags, s_max, 3, 6).sum(axis=1)
+    htt = jnp.einsum("bri,brj->bij", jt, jt).reshape(
+        n_tags, s_max, 6, 6).sum(axis=1)
+    g_t = jnp.einsum("bri,br->bi", jt, r).reshape(
+        n_tags, s_max, 6).sum(axis=1)
+
+    prod_pt = jnp.einsum("bri,brj->bij", jp, jt).reshape(
+        n_tags, s_max, 6, 6)
+    wt_pp = jnp.einsum("tsc,tsij->tcij",
+                       oc.reshape(n_tags, s_max, n_caps), prod_pt)
+    wt_raw = jnp.concatenate(
+        [hct, wt_pp.reshape(n_tags, 6 * n_caps, 6)], axis=1)
+    return GroupedEqs(hcc, hcp, hpp, wt_raw, htt, g_c, g_p, g_t)
+
+
+def eliminate_tags_grouped(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
+                           jacobi_scaling: bool = True,
+                           min_diag: float = 1e-6, max_diag: float = 1e32):
+    """Schur-eliminate tag blocks from the grouped coupling slab.  Same
+    math as eliminate_tags, minus the dense-(6C, 6T) W assembly."""
+    dtype = htt.dtype
+    tag_m = tag_active.astype(dtype)
+
+    d_t = jnp.diagonal(htt, axis1=-2, axis2=-1)  # (t, 6)
+    if jacobi_scaling:
+        s_t = tag_m[:, None] / (1.0 + jnp.sqrt(jnp.maximum(d_t, 0.0)))
+    else:
+        s_t = jnp.broadcast_to(tag_m[:, None], d_t.shape)
+
+    s_r = jnp.concatenate([s_c, s_p.reshape(-1)])  # (Nr,)
+    wt = wt_raw * s_r[None, :, None] * s_t[:, None, :]
+    htt = htt * s_t[:, :, None] * s_t[:, None, :]
+    g_t = g_t * s_t
+
+    dd_t = jnp.clip(jnp.diagonal(htt, axis1=-2, axis2=-1), min_diag, max_diag)
+    eye6 = jnp.eye(6, dtype=dtype)
+    htt = htt + lam * dd_t[:, :, None] * eye6
+    htt = jnp.where(tag_m[:, None, None] > 0, htt, eye6)
+
+    v_inv = jnp.linalg.inv(htt)  # (t, 6, 6), batched
+    y = jnp.einsum("tnk,tkj->tnj", wt, v_inv)  # (t, Nr, 6)
+    wvw = jnp.einsum("tnk,tmk->nm", y, wt)  # (Nr, Nr), additive over shards
+    wvg = jnp.einsum("tnk,tk->n", y, g_t)  # (Nr,), additive over shards
+    return wvw, wvg, v_inv, wt, g_t, s_t
+
+
+def schur_solve_grouped(eqs: GroupedEqs, lam, cam_active, cap_active,
+                        tag_active, jacobi_scaling: bool = True,
+                        min_diag: float = 1e-6, max_diag: float = 1e32):
+    """schur_solve over the grouped layout (same contract/return)."""
+    s_c, s_p = cap_scale_vectors(eqs, cam_active, cap_active, jacobi_scaling)
+    wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags_grouped(
+        eqs.wt_raw, eqs.htt, eqs.g_t, s_c, s_p, tag_active, lam,
+        jacobi_scaling, min_diag, max_diag,
+    )
+    delta_r, delta_cam, delta_cap = reduced_solve(
+        eqs, s_c, s_p, cam_active, cap_active, lam, wvw, wvg,
+        min_diag, max_diag,
+    )
+    delta_tag = backsub_tags(v_inv, wt, g_t_s, s_t, tag_active, delta_r)
+    return delta_cam, delta_cap, delta_tag
+
+
 def assemble(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags) -> NormalEqs:
     """Segment-reduce per-block Jacobian products into H blocks.
 

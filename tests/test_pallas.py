@@ -36,3 +36,50 @@ def test_pallas_ccl_nonaligned_width():
                                                 interpret=True))
     lx = np.asarray(connected_components(jnp.asarray(img), 4))
     np.testing.assert_array_equal(lp, lx)
+
+
+def test_pallas_extract_matches_xla():
+    """Extreme-point quads from the pallas kernel == the XLA (K, P)
+    formulation on a multi-component frame (argmax tie-breaks included)."""
+    from ar_slam_tpu.detect.pallas_extract import extreme_quads_pallas
+    from ar_slam_tpu.detect.tpu_detect import (
+        _extreme_quads,
+        _top_k_components,
+    )
+    import jax
+
+    img = np.zeros((64, 160), bool)
+    img[4:20, 8:40] = True
+    img[8:16, 12:36] = False      # ring (marker-border-like)
+    img[30:60, 60:120] = True
+    img[36:54, 66:114] = False
+    img[5:9, 130:150] = True      # small solid blob
+    labels = np.asarray(connected_components(jnp.asarray(img), 6))
+    k = 8
+    roots, areas = jax.jit(
+        lambda l: _top_k_components(l.reshape(-1), k))(jnp.asarray(labels))
+    qx = _extreme_quads(jnp.asarray(labels).reshape(-1), roots, areas,
+                        *img.shape)
+    qp = extreme_quads_pallas(jnp.asarray(labels)[None],
+                              jnp.asarray(roots)[None], k=k, strip=16,
+                              interpret=True)[0]
+    valid = np.asarray(areas) > 0
+    np.testing.assert_allclose(np.asarray(qp)[valid], np.asarray(qx)[valid])
+
+
+def test_pallas_box_matches_integral_image():
+    """box_sum_batch == box_mean * win^2 (the XLA integral-image path) for
+    odd-sized images and both window sizes used by the pipeline."""
+    from ar_slam_tpu.detect.pallas_box import box_sum_batch
+    from ar_slam_tpu.detect.tpu_detect import box_mean
+
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(0, 255, size=(2, 37, 141)).astype(np.float32)
+    for win in (11, 23):
+        ref = np.stack([
+            np.asarray(box_mean(jnp.asarray(im), win)) * win * win
+            for im in imgs
+        ])
+        got = np.asarray(box_sum_batch(jnp.asarray(imgs), win,
+                                       interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-2)
