@@ -74,7 +74,8 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
 
 
 @partial(jax.jit,
-         static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode"))
+         static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode",
+                          "obs_per_tag"))
 def solve_wave(
     camera,
     cap_poses,
@@ -95,6 +96,7 @@ def solve_wave(
     config: LMConfig,
     assemble_fn=None,
     seed_mode: str = "hybrid",
+    obs_per_tag: int | None = None,
 ):
     """One solver wave: optional capture seeding + lazy tag init + full LM.
 
@@ -110,7 +112,7 @@ def solve_wave(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners, block_mask,
         cam_active, cap_active, tag_active,
         aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
-        enabled=lm_enabled,
+        enabled=lm_enabled, obs_per_tag=obs_per_tag,
     )
 
 
@@ -170,6 +172,12 @@ class _WaveRunner:
         self.c_pad = arrs.cap_poses.shape[0]
         self.t_pad = arrs.tag_poses.shape[0]
         b_pad = arrs.block_mask.shape[0]
+        # tag-grouped (scatter-free) assembly: static max obs/tag, bucketed
+        # so incremental growth re-jits O(log n) times
+        from ar_slam_tpu.graph.arrays import bucket_size
+
+        max_obs = max((len(t.blocks) for t in store.arucos), default=1)
+        self.obs_per_tag = bucket_size(max_obs, floor=8)
         # block row lookup: store block index -> device row (identity for
         # the single-device path; partition permutation for the mesh path)
         self.row_of_block = np.arange(b_pad, dtype=np.int32)
@@ -265,6 +273,7 @@ class _WaveRunner:
                 config=self.config,
                 assemble_fn=self.assemble_fn,
                 seed_mode=self.seed_mode,
+                obs_per_tag=self.obs_per_tag,
             )
         else:
             prob = self._prob

@@ -77,6 +77,10 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
 
         config = LMConfig(max_iterations=n_iters, function_tolerance=0.0,
                           parameter_tolerance=0.0)
+        # tag-grouped scatter-free assembly (the production path)
+        counts = np.bincount(arrs.tag_idx[arrs.block_mask],
+                             minlength=arrs.tag_poses.shape[0])
+        obs_per_tag = -(-int(counts.max()) // 8) * 8
 
         def run(n):
             # traced iteration budget: ONE compiled program serves both
@@ -85,6 +89,7 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
                 *args[:7], cam_a, cap_m, tag_m,
                 aruco_size=0.0635, config=config,
                 iter_budget=jnp.asarray(n, jnp.int32),
+                obs_per_tag=obs_per_tag,
             )
             return info
 

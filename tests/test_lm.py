@@ -244,3 +244,99 @@ def test_radial_distortion_calibration():
     # and l1, l2 stay exactly zero (zero gradient — reference parity)
     assert rmse_off > 5 * max(rmse_on, 1e-6)
     assert float(cam_off[1]) == 0.0 and float(cam_off[2]) == 0.0
+
+
+def _perturbed_problem(n_tags=9, n_caps=5, seed=1, scale=0.02):
+    store, truth = make_synthetic_map(n_tags=n_tags, n_caps=n_caps, seed=seed)
+    arrs = export_arrays(store)
+    rng = np.random.default_rng(3)
+    cap_poses = arrs.cap_poses.copy()
+    tag_poses = arrs.tag_poses.copy()
+    for cap in store.captures:
+        c = int(cap.uid.split("_")[1])
+        cap_poses[cap.index] = truth["cap_poses"][c] + rng.normal(
+            scale=scale, size=6)
+    for tag in store.arucos:
+        t = int(tag.id.split("_")[-1])
+        tag_poses[tag.index] = truth["tag_poses"][t] + rng.normal(
+            scale=scale, size=6)
+    return arrs, cap_poses, tag_poses
+
+
+def test_grouped_assembly_matches_flat():
+    """assemble_grouped over the tag-grouped table reproduces the flat
+    assemble blocks exactly (up to summation order)."""
+    import jax
+    from ar_slam_tpu.solve.residuals import linearize
+    from ar_slam_tpu.solve.schur import (
+        assemble, assemble_grouped, group_blocks_by_tag)
+
+    arrs, cap_poses, tag_poses = _perturbed_problem()
+    nC, nT = arrs.cap_poses.shape[0], arrs.tag_poses.shape[0]
+    args = (jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+            jnp.asarray(tag_poses))
+    r, jc, jp, jt = linearize(*args, jnp.asarray(arrs.cap_idx),
+                              jnp.asarray(arrs.tag_idx),
+                              jnp.asarray(arrs.corners),
+                              jnp.asarray(arrs.block_mask), ARUCO_SIZE)
+    flat = assemble(r, jc, jp, jt, jnp.asarray(arrs.cap_idx),
+                    jnp.asarray(arrs.tag_idx), nC, nT)
+
+    s_max = int(np.bincount(
+        arrs.tag_idx[arrs.block_mask], minlength=nT).max()) + 1
+    gather, mask_g = group_blocks_by_tag(
+        jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.block_mask), nT, s_max)
+    cap_idx_g = jnp.asarray(arrs.cap_idx)[gather]
+    tag_idx_g = jnp.repeat(jnp.arange(nT, dtype=jnp.int32), s_max)
+    corners_g = jnp.asarray(arrs.corners)[gather]
+    rg, jcg, jpg, jtg = linearize(*args, cap_idx_g, tag_idx_g, corners_g,
+                                  mask_g, ARUCO_SIZE)
+    grouped = assemble_grouped(rg, jcg, jpg, jtg, cap_idx_g, nC, nT, s_max)
+
+    np.testing.assert_allclose(grouped.hcc, flat.hcc, rtol=1e-9)
+    np.testing.assert_allclose(grouped.hpp, flat.hpp, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(grouped.hcp, flat.hcp, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(grouped.htt, flat.htt, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(grouped.g_c, flat.g_c, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(grouped.g_p, flat.g_p, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(grouped.g_t, flat.g_t, rtol=1e-9, atol=1e-9)
+    # coupling slab vs dense hpt: wt_raw[t, 3+6c+i, j] == hpt[6c+i, 6t+j],
+    # wt_raw[t, 0:3, :] == hct[t]
+    np.testing.assert_allclose(grouped.wt_raw[:, :3, :], flat.hct,
+                               rtol=1e-9, atol=1e-9)
+    wt_pp = np.asarray(grouped.wt_raw[:, 3:, :])  # (T, 6C, 6)
+    hpt = np.asarray(flat.hpt).reshape(6 * nC, nT, 6)
+    np.testing.assert_allclose(wt_pp, hpt.transpose(1, 0, 2),
+                               rtol=1e-9, atol=1e-9)
+    # total residual identical
+    np.testing.assert_allclose(float(jnp.sum(rg * rg)),
+                               float(jnp.sum(r * r)), rtol=1e-12)
+
+
+def test_lm_grouped_matches_flat_solve():
+    """lm_solve(obs_per_tag=...) converges to the same solution as the flat
+    path (exact observations -> both reach ~machine-zero RMSE; camera and
+    poses agree)."""
+    arrs, cap_poses, tag_poses = _perturbed_problem()
+    nT = arrs.tag_poses.shape[0]
+    s_max = int(np.bincount(
+        arrs.tag_idx[arrs.block_mask], minlength=nT).max())
+
+    def run(**kw):
+        return lm_solve(
+            jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+            jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
+            jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
+            jnp.asarray(arrs.block_mask), jnp.asarray(True),
+            jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+            aruco_size=ARUCO_SIZE, config=LMConfig(max_iterations=100), **kw)
+
+    cam_f, caps_f, tags_f, info_f = run()
+    cam_g, caps_g, tags_g, info_g = run(obs_per_tag=s_max)
+    rmse_f = rmse_from_cost(float(info_f["cost"]), arrs.n_blocks)
+    rmse_g = rmse_from_cost(float(info_g["cost"]), arrs.n_blocks)
+    assert rmse_f < 1e-5 and rmse_g < 1e-5, (rmse_f, rmse_g)
+    np.testing.assert_allclose(np.asarray(cam_g), np.asarray(cam_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(caps_g), np.asarray(caps_f),
+                               rtol=1e-3, atol=1e-4)
