@@ -38,11 +38,12 @@ from ar_slam_tpu.parallel.partition import prepare_tag_shards
 from ar_slam_tpu.solve.lm import LMConfig, lm_core
 from ar_slam_tpu.solve.residuals import linearize, residuals_only
 from ar_slam_tpu.solve.schur import (
-    assemble_cap_side,
-    assemble_tag_side,
+    CapEqs,
+    assemble_grouped,
     backsub_tags,
     cap_scale_vectors,
-    eliminate_tags,
+    eliminate_tags_grouped,
+    group_blocks_by_tag,
     reduced_solve,
 )
 
@@ -54,22 +55,44 @@ def _psum_tree(tree):
 
 
 def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
-                           jacobi_scaling=True, distortion=False):
-    """Build (lin_fn, quality_fn, solve_fn_factory) for lm_core with tags
-    sharded over the mesh.
+                           jacobi_scaling=True, distortion=False,
+                           obs_per_tag: int = 8):
+    """Build (group_fn, lin_fn, quality_fn, solve_fn factories) for lm_core
+    with tags sharded over the mesh.
 
     All tag-indexed arrays (tag_poses, tag_active, the block table) must be
     in the RENUMBERED tag order from prepare_tag_shards, with global tag
     count t_per * n_devices; block ``tag_idx`` carries the new GLOBAL ids
     (converted to shard-local inside the kernels via axis_index).
+
+    ``obs_per_tag`` is the static per-tag slot count for the scatter-free
+    grouped assembly (global max observations per tag; shared by all
+    shards).  Each shard regroups ITS block slice once per solve via
+    ``make_group`` — sort and gathers stay shard-local.
     """
     blockspec = P(BLOCK_AXIS)
     tagspec = P(BLOCK_AXIS)
-    hptspec = P(None, BLOCK_AXIS)
     rep = P()
+    s_max = obs_per_tag
 
     def _local_tags(ti):
         return ti - jax.lax.axis_index(BLOCK_AXIS) * t_per
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(blockspec, blockspec, blockspec, blockspec),
+        out_specs=(blockspec, blockspec, blockspec, blockspec),
+    )
+    def make_group(ci, ti, crn, bm):
+        """Regroup this shard's blocks by local tag into (t_per * S) slots.
+        Returns a grouped block table with GLOBAL new tag ids."""
+        til = _local_tags(ti)
+        gather, mask_g = group_blocks_by_tag(til, bm, t_per, s_max)
+        til_g = jnp.repeat(jnp.arange(t_per, dtype=jnp.int32), s_max,
+                           total_repeat_length=t_per * s_max)
+        ti_g = til_g + jax.lax.axis_index(BLOCK_AXIS).astype(jnp.int32) * t_per
+        return ci[gather], ti_g, crn[gather], mask_g
 
     def make_lin(cap_idx, tag_idx, corners, block_mask):
         @partial(
@@ -78,7 +101,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
             in_specs=(rep, rep, tagspec, blockspec, blockspec, blockspec,
                       blockspec),
             out_specs=(
-                (rep, (tagspec, hptspec, tagspec, tagspec)),  # eqs
+                (rep, (tagspec, tagspec, tagspec)),  # eqs
                 rep,  # cost
                 (blockspec, blockspec, blockspec, blockspec),  # aux
             ),
@@ -89,9 +112,9 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
                 distortion,
             )
-            cap_eqs = _psum_tree(assemble_cap_side(r, jc, jp, ci, n_caps))
-            tag_side = assemble_tag_side(r, jc, jp, jt, ci, til, n_caps,
-                                         t_per)
+            g = assemble_grouped(r, jc, jp, jt, ci, n_caps, t_per, s_max)
+            cap_eqs = _psum_tree(CapEqs(g.hcc, g.hcp, g.hpp, g.g_c, g.g_p))
+            tag_side = (g.wt_raw, g.htt, g.g_t)
             cost = jax.lax.psum(0.5 * jnp.sum(r * r), BLOCK_AXIS)
             return (cap_eqs, tag_side), cost, (r, jc, jp, jt)
 
@@ -142,15 +165,15 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=((tagspec, hptspec, tagspec, tagspec),
+            in_specs=((tagspec, tagspec, tagspec),
                       rep, rep, tagspec, rep),
             out_specs=(rep, rep,
                        (tagspec, tagspec, tagspec, tagspec)),
         )
         def _elim(tag_side, s_c, s_p, tag_a, lam):
-            hct, hpt, htt, g_t = tag_side
-            wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags(
-                hct, hpt, htt, g_t, s_c, s_p, tag_a, lam, jacobi_scaling,
+            wt_raw, htt, g_t = tag_side
+            wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags_grouped(
+                wt_raw, htt, g_t, s_c, s_p, tag_a, lam, jacobi_scaling,
             )
             wvw = jax.lax.psum(wvw, BLOCK_AXIS)
             wvg = jax.lax.psum(wvg, BLOCK_AXIS)
@@ -179,7 +202,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
 
         return solve_fn
 
-    return make_lin, make_quality, make_solve
+    return make_group, make_lin, make_quality, make_solve
 
 
 class TagShardedProblem:
@@ -200,6 +223,11 @@ class TagShardedProblem:
             cap_idx, tag_idx, block_mask, n_tags, self.n_dev
         )
         p = self.prep
+        # static slot count for the grouped (scatter-free) assembly:
+        # global max observations per tag, bucketed (shared by all shards)
+        counts = np.bincount(tag_idx[block_mask], minlength=n_tags)
+        max_obs = max(int(counts.max()) if counts.size else 1, 1)
+        self.obs_per_tag = max(8, 1 << (max_obs - 1).bit_length())
         self.t_per = p["t_per"]
         self.t_new = p["t_new"]
         rg = p["row_gather"]
@@ -247,20 +275,22 @@ class TagShardedProblem:
 
 
 @lru_cache(maxsize=32)
-def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config):
+def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag):
     """Memoized jitted distributed-LM program: repeated lm_solve_dist calls
     with the same mesh/shape/config hit the jit cache instead of
     re-tracing (axon remote compiles are 20-400 s)."""
-    make_lin, make_quality, make_solve = make_tag_sharded_hooks(
+    make_group, make_lin, make_quality, make_solve = make_tag_sharded_hooks(
         mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
-        config.enable_distortion,
+        config.enable_distortion, obs_per_tag,
     )
 
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active):
-        lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
-        quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)
+        # per-shard regroup ONCE (outside the LM while_loop)
+        grouped = make_group(cap_idx, tag_idx, corners, block_mask)
+        lin_fn = make_lin(*grouped)
+        quality_fn = make_quality(*grouped)
         solve_fn = make_solve(cam_active, cap_active, tag_active)
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,
@@ -299,7 +329,8 @@ def lm_solve_dist(
         camera, cap_poses, cam_active, cap_active
     )
 
-    run = _dist_lm_runner(mesh, prob.t_per, n_caps, aruco_size, config)
+    run = _dist_lm_runner(mesh, prob.t_per, n_caps, aruco_size, config,
+                          prob.obs_per_tag)
     cam, caps, tags, info = run(
         camera_r, cap_poses_r, tag_poses_s, prob.cap_idx, prob.tag_idx,
         prob.corners, bm, cam_a, cap_a, tag_active_s,
@@ -309,17 +340,18 @@ def lm_solve_dist(
 
 
 def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
-                          seed_mode: str = "hybrid"):
+                          seed_mode: str = "hybrid", obs_per_tag: int = 8):
     """Jitted distributed wave solver (seeding prologue + LM) over the
     tag-sharded layout; all tag-indexed inputs/outputs use the RENUMBERED
     order (the runner owns the mapping).  Memoized so every _WaveRunner
     (one per solve/solve_incremental call) shares the jit cache — a serve
     loop must not re-trace per batch."""
-    return _dist_wave_solver(mesh, aruco_size, config, seed_mode)
+    return _dist_wave_solver(mesh, aruco_size, config, seed_mode,
+                             obs_per_tag)
 
 
 @lru_cache(maxsize=32)
-def _dist_wave_solver(mesh, aruco_size, config, seed_mode):
+def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag):
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
@@ -330,16 +362,21 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode):
         t_new = tag_poses.shape[0]
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         t_per = t_new // n_dev
+        # seeds apply on the ORIGINAL repacked table (tag_init_blocks holds
+        # row indices into it); grouping follows
         cap_poses, tag_poses = apply_wave_seeds(
             camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
         )
-        make_lin, make_quality, make_solve = make_tag_sharded_hooks(
-            mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
-            config.enable_distortion,
+        make_group, make_lin, make_quality, make_solve = (
+            make_tag_sharded_hooks(
+                mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
+                config.enable_distortion, obs_per_tag,
+            )
         )
-        lin_fn = make_lin(cap_idx, tag_idx, corners, block_mask)
-        quality_fn = make_quality(cap_idx, tag_idx, corners, block_mask)
+        grouped = make_group(cap_idx, tag_idx, corners, block_mask)
+        lin_fn = make_lin(*grouped)
+        quality_fn = make_quality(*grouped)
         solve_fn = make_solve(cam_active, cap_active, tag_active)
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,

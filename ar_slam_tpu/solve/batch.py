@@ -211,7 +211,7 @@ class _WaveRunner:
             )
             self._dist_wave = make_dist_wave_solver(
                 mesh, aruco_size=aruco_size, config=self.config,
-                seed_mode=self.seed_mode,
+                seed_mode=self.seed_mode, obs_per_tag=prob.obs_per_tag,
             )
         # host-side solver state (store-index order)
         self.active_caps: set[int] = set()
