@@ -136,6 +136,9 @@ def cmd_serve(args) -> int:
                     engine.add_images(batch)
                     s = engine.solve_incremental()
                     print(f"+{len(batch)} images: {s}")
+                if server is not None:
+                    for respond, fns in server.pop_make_map():
+                        respond(_make_map_response(args, fns))
                 time.sleep(args.poll)
         else:
             for line in sys.stdin:
@@ -167,6 +170,50 @@ def cmd_load_images(args) -> int:
     resp = send_load_images(args.sock, args.inputs)
     print(resp.get("message", ""))
     return 0 if resp.get("success") else 1
+
+
+def _make_map_response(args, fns: list[str]) -> dict:
+    """Fulfil one MakeMap request: build a standalone map from the given
+    images and return its YAML text (≙ MakeMap.srv: img_fns -> yaml —
+    declared by the reference interfaces but never served there)."""
+    import io
+
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    try:
+        eng = ArSlamEngine(config=_config(args),
+                           use_tpu_detector=not args.cpu_detector)
+        from ar_slam_tpu.graph import save_yaml
+
+        eng.add_images(fns)
+        summary = eng.solve()
+        buf = io.StringIO()
+        save_yaml(eng.store, buf)
+        return {"success": True,
+                "message": f"solved {summary.get('waves', 0)} captures, "
+                           f"rmse {summary.get('rmse', float('nan')):.4f} px",
+                "yaml": buf.getvalue()}
+    except Exception as e:  # noqa: BLE001 — report failure to the client
+        return {"success": False, "message": f"make_map failed: {e}"}
+
+
+def cmd_make_map(args) -> int:
+    """One-shot MakeMap request against a running serve instance."""
+    from ar_slam_tpu.pipeline.service import send_make_map
+
+    if not args.inputs:
+        print("error: no image filenames given", file=sys.stderr)
+        return 1
+    resp = send_make_map(args.sock, args.inputs, timeout=args.timeout)
+    print(resp.get("message", ""), file=sys.stderr)
+    if not resp.get("success"):
+        return 1
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(resp.get("yaml", ""))
+    else:
+        sys.stdout.write(resp.get("yaml", ""))
+    return 0
 
 
 def cmd_replay(args) -> int:
@@ -401,6 +448,16 @@ def main(argv=None) -> int:
     sp.add_argument("inputs", nargs="*", help="image filenames")
     sp.add_argument("--sock", default="/tmp/arslam.sock")
     sp.set_defaults(fn=cmd_load_images)
+
+    sp = sub.add_parser("make-map",
+                        help="one-shot map build via a running serve "
+                             "(≙ MakeMap.srv: img_fns -> yaml)")
+    sp.add_argument("inputs", nargs="*", help="image filenames")
+    sp.add_argument("--sock", default="/tmp/arslam.sock")
+    sp.add_argument("-o", "--output", default="",
+                    help="write yaml here (default: stdout)")
+    sp.add_argument("--timeout", type=float, default=600.0)
+    sp.set_defaults(fn=cmd_make_map)
 
     sp = sub.add_parser("replay", help="rebuild a map from an event log")
     sp.add_argument("log")

@@ -1,5 +1,5 @@
-"""Load-images control service: the TPU-native replacement for the
-reference's ROS service plane.
+"""Load-images / make-map control service: the TPU-native replacement for
+the reference's ROS service plane.
 
 The reference exposes ``LoadImages.srv`` (string[] img_fns -> bool success +
 string message, ar_slam_interfaces/srv/LoadImages.srv) served by ImageLoader
@@ -8,6 +8,13 @@ wall timer drains one per tick) and called by ``load_images_client``
 (ar_slam_module.py:8-20).  DDS is replaced by a Unix-domain socket speaking
 one JSON object per line; the filename queue and success/message response
 contract are preserved.
+
+``MakeMap.srv`` (string[] img_fns -> string yaml) is DECLARED by the
+reference (ar_slam_interfaces/CMakeLists.txt:21) but no node implements it;
+here it is a real request type: {"make_map": true, "img_fns": [...]} builds
+a standalone map from just those images and returns its YAML text.  The
+response is deferred — the connection parks until the serve loop (which
+owns the engine) fulfils it.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ class LoadImagesServer:
     def __init__(self, sock_path: str):
         self.sock_path = sock_path
         self._queue: deque[str] = deque()
+        self._make_map: deque[tuple[socket.socket, list[str]]] = deque()
         self._lock = threading.Lock()
         self._stop = threading.Event()
         if os.path.exists(sock_path):
@@ -50,33 +58,45 @@ class LoadImagesServer:
                 continue
             except OSError:
                 break
-            with conn:
-                try:
-                    # a silent/partial client must not wedge the (single-
-                    # threaded) accept loop
-                    conn.settimeout(2.0)
-                    data = b""
-                    while not data.endswith(b"\n"):
-                        chunk = conn.recv(65536)
-                        if not chunk:
-                            break
-                        data += chunk
-                    req = json.loads(data.decode())
-                    fns = [str(f) for f in req.get("img_fns", [])]
+            try:
+                # a silent/partial client must not wedge the (single-
+                # threaded) accept loop
+                conn.settimeout(2.0)
+                data = b""
+                while not data.endswith(b"\n"):
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    data += chunk
+                req = json.loads(data.decode())
+                fns = [str(f) for f in req.get("img_fns", [])]
+                if req.get("make_map"):
                     if not fns:
                         resp = {"success": False,
                                 "message": "no filenames provided"}
                     else:
+                        # park the connection: the serve loop owns the
+                        # engine and fulfils the request via pop_make_map
+                        conn.settimeout(None)
                         with self._lock:
-                            self._queue.extend(fns)
-                        resp = {"success": True,
-                                "message": f"queued {len(fns)} images"}
-                except Exception as e:  # malformed request — report, keep serving
-                    resp = {"success": False, "message": f"bad request: {e}"}
-                try:
-                    conn.sendall((json.dumps(resp) + "\n").encode())
-                except OSError:
-                    pass
+                            self._make_map.append((conn, fns))
+                        continue
+                elif not fns:
+                    resp = {"success": False,
+                            "message": "no filenames provided"}
+                else:
+                    with self._lock:
+                        self._queue.extend(fns)
+                    resp = {"success": True,
+                            "message": f"queued {len(fns)} images"}
+            except Exception as e:  # malformed request — report, keep serving
+                resp = {"success": False, "message": f"bad request: {e}"}
+            try:
+                conn.sendall((json.dumps(resp) + "\n").encode())
+            except OSError:
+                pass
+            finally:
+                conn.close()
 
     def pop_batch(self, max_items: int = 0) -> list[str]:
         """Drain up to max_items queued filenames (0 = all)."""
@@ -86,22 +106,49 @@ class LoadImagesServer:
                 out.append(self._queue.popleft())
         return out
 
+    def pop_make_map(self):
+        """Drain pending make_map requests as (respond, img_fns) pairs.
+        ``respond(dict)`` sends the JSON response and closes the client."""
+        out = []
+        with self._lock:
+            items = list(self._make_map)
+            self._make_map.clear()
+
+        def make_responder(conn):
+            def respond(resp: dict):
+                try:
+                    conn.sendall((json.dumps(resp) + "\n").encode())
+                except OSError:
+                    pass
+                finally:
+                    conn.close()
+
+            return respond
+
+        for conn, fns in items:
+            out.append((make_responder(conn), fns))
+        return out
+
     def close(self):
         self._stop.set()
         self._sock.close()
         self._thread.join(timeout=2.0)
+        with self._lock:
+            for conn, _ in self._make_map:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+            self._make_map.clear()
         if os.path.exists(self.sock_path):
             os.unlink(self.sock_path)
 
 
-def send_load_images(sock_path: str, img_fns: list[str],
-                     timeout: float = 10.0) -> dict:
-    """Client call (≙ LoadImagesClientAsync.send_request): send the filename
-    list, return the response dict."""
+def _request(sock_path: str, payload: dict, timeout: float) -> dict:
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.settimeout(timeout)
         s.connect(sock_path)
-        s.sendall((json.dumps({"img_fns": list(img_fns)}) + "\n").encode())
+        s.sendall((json.dumps(payload) + "\n").encode())
         data = b""
         while not data.endswith(b"\n"):
             chunk = s.recv(65536)
@@ -109,3 +156,18 @@ def send_load_images(sock_path: str, img_fns: list[str],
                 break
             data += chunk
     return json.loads(data.decode())
+
+
+def send_load_images(sock_path: str, img_fns: list[str],
+                     timeout: float = 10.0) -> dict:
+    """Client call (≙ LoadImagesClientAsync.send_request): send the filename
+    list, return the response dict."""
+    return _request(sock_path, {"img_fns": list(img_fns)}, timeout)
+
+
+def send_make_map(sock_path: str, img_fns: list[str],
+                  timeout: float = 600.0) -> dict:
+    """MakeMap client call (≙ MakeMap.srv: img_fns -> yaml).  Long default
+    timeout: the serve loop detects + solves before responding."""
+    return _request(sock_path, {"make_map": True, "img_fns": list(img_fns)},
+                    timeout)

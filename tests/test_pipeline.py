@@ -299,3 +299,48 @@ def test_export_artifacts(demo_map):
     assert ci["k"][0] == ci["k"][4] > 0
     assert ci["width"] == 1020
     assert len(art["markers"]) == 1 + 6
+
+
+def test_make_map_service(tmp_path):
+    """MakeMap request type: {"make_map": true, img_fns} parks the client
+    until the owner responds with the map YAML (≙ MakeMap.srv — declared by
+    the reference interfaces, ar_slam_interfaces/CMakeLists.txt:21, but
+    never served there)."""
+    import threading
+    import time
+
+    from ar_slam_tpu.pipeline.service import (
+        LoadImagesServer,
+        send_load_images,
+        send_make_map,
+    )
+
+    sock = str(tmp_path / "arslam.sock")
+    server = LoadImagesServer(sock)
+    result = {}
+
+    def owner_loop():
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            for respond, fns in server.pop_make_map():
+                respond({"success": True, "message": f"{len(fns)} images",
+                         "yaml": "blocks: []\n"})
+                return
+            time.sleep(0.02)
+
+    try:
+        t = threading.Thread(target=owner_loop)
+        t.start()
+        resp = send_make_map(sock, ["x.jpg", "y.jpg"], timeout=10.0)
+        t.join()
+        assert resp["success"] and resp["yaml"].startswith("blocks:")
+        # make_map with no filenames fails immediately, like LoadImages
+        resp = send_make_map(sock, [], timeout=5.0)
+        assert not resp["success"]
+        # plain load_images still works alongside
+        resp = send_load_images(sock, ["a.jpg"])
+        assert resp["success"] and server.pop_batch() == ["a.jpg"]
+        result["ok"] = True
+    finally:
+        server.close()
+    assert result.get("ok")
