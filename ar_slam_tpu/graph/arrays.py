@@ -44,6 +44,16 @@ def bucket_size(n: int, floor: int = 8) -> int:
     return size
 
 
+def obs_bucket(n: int) -> int:
+    """Bucket for per-tag observation slots: multiples of 8 up to 64 (the
+    padding multiplies T_pad, so pow2 jumps are expensive), power-of-two
+    beyond."""
+    n = max(n, 1)
+    if n <= 64:
+        return -(-n // 8) * 8
+    return bucket_size(n)
+
+
 def export_arrays(
     store: MapStore,
     dtype=np.float64,

@@ -225,9 +225,11 @@ class TagShardedProblem:
         p = self.prep
         # static slot count for the grouped (scatter-free) assembly:
         # global max observations per tag, bucketed (shared by all shards)
+        from ar_slam_tpu.graph.arrays import obs_bucket
+
         counts = np.bincount(tag_idx[block_mask], minlength=n_tags)
-        max_obs = max(int(counts.max()) if counts.size else 1, 1)
-        self.obs_per_tag = max(8, 1 << (max_obs - 1).bit_length())
+        self.obs_per_tag = obs_bucket(int(counts.max()) if counts.size
+                                      else 1)
         self.t_per = p["t_per"]
         self.t_new = p["t_new"]
         rg = p["row_gather"]

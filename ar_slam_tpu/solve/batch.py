@@ -173,11 +173,11 @@ class _WaveRunner:
         self.t_pad = arrs.tag_poses.shape[0]
         b_pad = arrs.block_mask.shape[0]
         # tag-grouped (scatter-free) assembly: static max obs/tag, bucketed
-        # so incremental growth re-jits O(log n) times
-        from ar_slam_tpu.graph.arrays import bucket_size
+        # so incremental growth re-jits a bounded number of times
+        from ar_slam_tpu.graph.arrays import obs_bucket
 
         max_obs = max((len(t.blocks) for t in store.arucos), default=1)
-        self.obs_per_tag = bucket_size(max_obs, floor=8)
+        self.obs_per_tag = obs_bucket(max_obs)
         # block row lookup: store block index -> device row (identity for
         # the single-device path; partition permutation for the mesh path)
         self.row_of_block = np.arange(b_pad, dtype=np.int32)
