@@ -25,11 +25,17 @@ def filename_no_ext(path: str) -> str:
 
 
 def load_image(path: str) -> np.ndarray:
-    """Load an image as grayscale uint8 (H, W)."""
+    """Load an image as grayscale uint8 (H, W): native libjpeg decoder
+    when built (≙ cv::imread in the reference ImageLoader), PIL otherwise
+    and for non-JPEG formats."""
+    from ar_slam_tpu.pipeline.fast_decode import decode_gray
+
+    img = decode_gray(path)
+    if img is not None:
+        return img
     from PIL import Image
 
-    img = Image.open(path)
-    return np.asarray(img.convert("L"))
+    return np.asarray(Image.open(path).convert("L"))
 
 
 @dataclass
@@ -56,8 +62,10 @@ class ImageIngest:
         self.used_names[base] = count + 1
         return f"{base}:{count + 1}"
 
-    def ingest(self, path: str) -> IngestedCapture:
-        img = load_image(path)
+    def ingest(self, path: str, img: np.ndarray | None = None
+               ) -> IngestedCapture:
+        if img is None:
+            img = load_image(path)
         h, w = img.shape
         if self.expected_size is None:
             self.expected_size = (w, h)
@@ -78,4 +86,15 @@ class ImageIngest:
         return IngestedCapture(self.gen_unique_name(path), path, img)
 
     def ingest_many(self, paths) -> list[IngestedCapture]:
-        return [self.ingest(p) for p in paths]
+        """Ingest a batch: decodes run on a thread pool (the native libjpeg
+        call and PIL both release the GIL), the stateful uid/size-gauge
+        steps stay sequential in input order."""
+        paths = list(paths)
+        if len(paths) <= 1:
+            return [self.ingest(p) for p in paths]
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(paths), os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            imgs = list(pool.map(load_image, paths))
+        return [self.ingest(p, img) for p, img in zip(paths, imgs)]

@@ -121,7 +121,7 @@ def group_blocks_by_tag(tag_idx, block_mask, n_tags: int, s_max: int):
     """
     b = tag_idx.shape[0]
     key = jnp.where(block_mask, tag_idx, n_tags).astype(jnp.int32)
-    order = jnp.argsort(key, stable=True)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
     sk = key[order]
     pos = jnp.arange(b, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -151,13 +151,20 @@ def assemble_grouped(r, jc, jp, jt, cap_idx, n_caps: int, n_tags: int,
     oc = (cap_idx[:, None] == jnp.arange(n_caps, dtype=jnp.int32)[None, :]
           ).astype(dtype)  # (T*S, C); masked rows contribute 0 via j==0
 
+    # The one-hot contractions ROUTE already-accumulated f32 block values;
+    # TPU's default matmul precision would round them to bf16 (segment_sum
+    # added them exactly), which measurably degrades H and can diverge the
+    # incremental solver — force full precision on the routing matmuls.
+    hp = jax.lax.Precision.HIGHEST
+
     hcc = jnp.einsum("bri,brj->ij", jc, jc)
     g_c = jnp.einsum("bri,br->i", jc, r)
     prod_cp = jnp.einsum("bri,brj->bij", jc, jp)
-    hcp = jnp.einsum("bij,bc->cij", prod_cp, oc)
+    hcp = jnp.einsum("bij,bc->cij", prod_cp, oc, precision=hp)
     prod_pp = jnp.einsum("bri,brj->bij", jp, jp)
-    hpp = jnp.einsum("bij,bc->cij", prod_pp, oc)
-    g_p = jnp.einsum("bi,bc->ci", jnp.einsum("bri,br->bi", jp, r), oc)
+    hpp = jnp.einsum("bij,bc->cij", prod_pp, oc, precision=hp)
+    g_p = jnp.einsum("bi,bc->ci", jnp.einsum("bri,br->bi", jp, r), oc,
+                     precision=hp)
 
     hct = jnp.einsum("bri,brj->bij", jc, jt).reshape(
         n_tags, s_max, 3, 6).sum(axis=1)
@@ -169,7 +176,8 @@ def assemble_grouped(r, jc, jp, jt, cap_idx, n_caps: int, n_tags: int,
     prod_pt = jnp.einsum("bri,brj->bij", jp, jt).reshape(
         n_tags, s_max, 6, 6)
     wt_pp = jnp.einsum("tsc,tsij->tcij",
-                       oc.reshape(n_tags, s_max, n_caps), prod_pt)
+                       oc.reshape(n_tags, s_max, n_caps), prod_pt,
+                       precision=hp)
     wt_raw = jnp.concatenate(
         [hct, wt_pp.reshape(n_tags, 6 * n_caps, 6)], axis=1)
     return GroupedEqs(hcc, hcp, hpp, wt_raw, htt, g_c, g_p, g_t)

@@ -340,3 +340,45 @@ def test_lm_grouped_matches_flat_solve():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(caps_g), np.asarray(caps_f),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_grouped_assembly_exact_under_bf16_default():
+    """TPU's default matmul precision rounds f32 einsum inputs to bf16.
+    The grouped assembly's one-hot ROUTING matmuls must stay exact anyway
+    (precision=HIGHEST pinned) — without it the incremental solver diverged
+    on TPU (424 px vs 0.32 px on the 200-tag map-throughput run)."""
+    import jax
+    from ar_slam_tpu.solve.residuals import linearize
+    from ar_slam_tpu.solve.schur import (
+        assemble, assemble_grouped, group_blocks_by_tag)
+
+    arrs, cap_poses, tag_poses = _perturbed_problem()
+    nC, nT = arrs.cap_poses.shape[0], arrs.tag_poses.shape[0]
+    args = (jnp.asarray(arrs.camera, jnp.float32),
+            jnp.asarray(cap_poses, jnp.float32),
+            jnp.asarray(tag_poses, jnp.float32))
+    corners = jnp.asarray(arrs.corners, jnp.float32)
+    r, jc, jp, jt = linearize(*args, jnp.asarray(arrs.cap_idx),
+                              jnp.asarray(arrs.tag_idx), corners,
+                              jnp.asarray(arrs.block_mask), ARUCO_SIZE)
+    flat = assemble(r, jc, jp, jt, jnp.asarray(arrs.cap_idx),
+                    jnp.asarray(arrs.tag_idx), nC, nT)
+
+    s_max = int(np.bincount(
+        arrs.tag_idx[arrs.block_mask], minlength=nT).max())
+    gather, mask_g = group_blocks_by_tag(
+        jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.block_mask), nT, s_max)
+    cap_idx_g = jnp.asarray(arrs.cap_idx)[gather]
+    rg, jcg, jpg, jtg = (x[gather] for x in (r, jc, jp, jt))
+    rg = jnp.where(mask_g[:, None], rg, 0.0)
+    jcg = jnp.where(mask_g[:, None, None], jcg, 0.0)
+    jpg = jnp.where(mask_g[:, None, None], jpg, 0.0)
+    jtg = jnp.where(mask_g[:, None, None], jtg, 0.0)
+    with jax.default_matmul_precision("bfloat16"):
+        grouped = jax.jit(
+            lambda *a: assemble_grouped(*a, nC, nT, s_max)
+        )(rg, jcg, jpg, jtg, cap_idx_g)
+    # routing matmuls must not round the block values to bf16
+    np.testing.assert_allclose(grouped.hpp, flat.hpp, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(grouped.hcp, flat.hcp, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(grouped.g_p, flat.g_p, rtol=1e-6, atol=1e-6)

@@ -98,3 +98,39 @@ def test_native_topology_speed():
     t_py = query_time(build(False))
     t_nat = query_time(build(True))
     assert t_nat < t_py, (t_py, t_nat)
+
+
+def test_native_jpeg_decode_matches_pil():
+    """Native libjpeg grayscale decode == PIL's L conversion (both use the
+    ITU-R 601 luma; IDCT rounding may differ by ±1 count)."""
+    import numpy as np
+    import pytest
+
+    from ar_slam_tpu.pipeline import fast_decode
+
+    if not fast_decode.available():
+        pytest.skip("libarslam_jpeg.so not built")
+    from PIL import Image
+
+    path = "/root/reference/ar_slam/resources/images/img1.jpg"
+    if not __import__("os").path.exists(path):
+        pytest.skip("demo image unavailable")
+    native = fast_decode.decode_gray(path)
+    pil = np.asarray(Image.open(path).convert("L"))
+    assert native is not None and native.shape == pil.shape
+    diff = np.abs(native.astype(int) - pil.astype(int))
+    assert np.mean(diff) < 1.0 and np.percentile(diff, 99) <= 2, (
+        diff.mean(), diff.max())
+
+
+def test_native_jpeg_decode_bad_inputs(tmp_path):
+    from ar_slam_tpu.pipeline import fast_decode
+    import pytest
+
+    if not fast_decode.available():
+        pytest.skip("libarslam_jpeg.so not built")
+    bad = tmp_path / "not_a.jpg"
+    bad.write_bytes(b"definitely not jpeg data")
+    assert fast_decode.decode_gray(str(bad)) is None
+    assert fast_decode.decode_gray(str(tmp_path / "missing.jpg")) is None
+    assert fast_decode.decode_gray("whatever.png") is None
