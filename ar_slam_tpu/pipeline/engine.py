@@ -157,13 +157,24 @@ class ArSlamEngine:
                 min_perimeter_rate=dcfg.min_marker_perimeter_rate,
                 max_perimeter_rate=dcfg.max_marker_perimeter_rate,
             )
+            # pad the batch to a power-of-two bucket: each distinct batch
+            # size is a separate compile (20-400 s on the tunneled TPU),
+            # and a serve loop sees arbitrary sizes
+            n = len(images)
+            n_pad = 1
+            while n_pad < n:
+                n_pad *= 2
+            if n_pad > n:
+                pad = np.zeros((n_pad - n, *images.shape[1:]),
+                               dtype=images.dtype)
+                images = np.concatenate([images, pad])
             out = detect_batch(jnp.asarray(images), params=params,
                                dict_names=dict_names)
             for name in dict_names:
                 ids = np.asarray(out[name]["ids"])
                 corners = np.asarray(out[name]["corners"])
                 valid = np.asarray(out[name]["valid"])
-                for i in range(len(images)):
+                for i in range(len(per_image)):
                     for k in np.nonzero(valid[i])[0]:
                         per_image[i].append(
                             (f"aruco_{name}_{int(ids[i][k])}",
