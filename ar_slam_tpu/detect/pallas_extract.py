@@ -80,11 +80,16 @@ def _extract_kernel(roots_ref, l_ref, o_ref, *, strip: int):
         bl = jnp.where(bl >= POS, 0.0, bl)
         return jnp.mod(bl, w), jnp.floor(bl / w)
 
-    # sweep 0: area + centroid
+    # sweep 0: area + centroid (one strip read per step)
     def sums(s, carry):
         area, sx, sy = carry
-        member, x, _ = masked(s, lambda x, y: x)
-        _, y, _ = masked(s, lambda x, y: y)
+        lab = l_ref[0, pl.ds(s * strip, strip), :]
+        member = lab == root
+        x = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1).astype(
+            jnp.float32)
+        y = (jnp.float32(s * strip)
+             + jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0).astype(
+                 jnp.float32))
         mf = member.astype(jnp.float32)
         return (area + jnp.sum(mf), sx + jnp.sum(mf * x),
                 sy + jnp.sum(mf * y))

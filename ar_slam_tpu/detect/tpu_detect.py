@@ -154,10 +154,13 @@ def _top_k_components(labels_flat, k):
     return roots, top_area
 
 
-def _extreme_quads(labels_flat, roots, top_area, h, w):
+def _extreme_quads(labels_flat, roots, h, w):
     """Per-candidate convex extreme points [A, B, C, D] — XLA formulation
     over a (K, P) membership matrix (CPU / fallback path; the TPU path is
-    detect.pallas_extract.extreme_quads_pallas, same math in VMEM)."""
+    detect.pallas_extract.extreme_quads_pallas, same math in VMEM).
+
+    The centroid uses the EXACT member count (like the pallas kernel's
+    sweep 0), not the possibly-subsampled ranking area estimate."""
     member = labels_flat[None, :] == roots[:, None]  # (K, P)
 
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
@@ -165,7 +168,8 @@ def _extreme_quads(labels_flat, roots, top_area, h, w):
     xf = xs.reshape(-1)[None, :]
     yf = ys.reshape(-1)[None, :]
 
-    area_safe = jnp.maximum(top_area, 1.0)[:, None]
+    area = member.astype(jnp.float32).sum(axis=1)
+    area_safe = jnp.maximum(area, 1.0)[:, None]
     cx = jnp.where(member, xf, 0.0).sum(axis=1, keepdims=True) / area_safe
     cy = jnp.where(member, yf, 0.0).sum(axis=1, keepdims=True) / area_safe
 
@@ -227,11 +231,29 @@ def _postprocess_quads(quad, top_area, h, w, params: DetectParams):
 
 
 def _top_k_subsampled(labels, k: int, subsample: int):
-    """Top-k component roots ranked on a subsampled label grid (areas
-    rescaled by subsample²).  Component labels are constant over a
-    component, so subsampling only jitters the pixel counts."""
+    """Top-k component roots ranked on a min-pooled label grid (areas
+    rescaled by subsample²).
+
+    Min-pooling (not plain striding) guarantees every component keeps at
+    least one cell on the ranking grid — a 1-px ring on odd rows/cols
+    cannot vanish.  At subsample=2, 8-connected components can never share
+    a pooled cell (their pixels would be adjacent and thus merged), so
+    each cell counts toward exactly its own component; the cell count
+    upper-bounds area/subsample², erring permissive for the area filters.
+    """
     s = max(int(subsample), 1)
-    roots, top_area = _top_k_components(labels[::s, ::s].reshape(-1), k)
+    if s <= 1:
+        return _top_k_components(labels.reshape(-1), k)
+    h, w = labels.shape
+    hp, wp = -(-h // s) * s, -(-w // s) * s
+    lab = labels
+    if (hp, wp) != (h, w):
+        lab = jnp.pad(labels, ((0, hp - h), (0, wp - w)),
+                      constant_values=BIG)
+    pooled = -jax.lax.reduce_window(
+        -lab, -BIG, jax.lax.max, (s, s), (s, s), "VALID"
+    )
+    roots, top_area = _top_k_components(pooled.reshape(-1), k)
     return roots, top_area * float(s * s)
 
 
@@ -247,7 +269,7 @@ def extract_candidates(binary, labels, params: DetectParams):
     k = params.max_candidates
 
     roots, top_area = _top_k_subsampled(labels, k, params.topk_subsample)
-    quad = _extreme_quads(labels.reshape(-1), roots, top_area, h, w)
+    quad = _extreme_quads(labels.reshape(-1), roots, h, w)
     return _postprocess_quads(quad, top_area, h, w, params)
 
 

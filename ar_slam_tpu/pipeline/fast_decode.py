@@ -70,6 +70,8 @@ def decode_gray(path: str) -> np.ndarray | None:
     rc = lib.arslam_jpeg_decode_gray(
         p, out.ctypes.data_as(C.POINTER(C.c_ubyte)), out.size,
         C.byref(w), C.byref(h))
-    if rc != 0:
+    if rc != 0 or (h.value, w.value) != out.shape:
+        # shape changed between the dims probe and the decode (file being
+        # rewritten under a watch loop) — rows would be sheared
         return None
     return out

@@ -76,8 +76,10 @@ class LoadImagesServer:
                                 "message": "no filenames provided"}
                     else:
                         # park the connection: the serve loop owns the
-                        # engine and fulfils the request via pop_make_map
-                        conn.settimeout(None)
+                        # engine and fulfils the request via pop_make_map.
+                        # Keep a send timeout — a client that stops reading
+                        # must not wedge the serve loop in sendall.
+                        conn.settimeout(30.0)
                         with self._lock:
                             self._make_map.append((conn, fns))
                         continue

@@ -58,8 +58,7 @@ def test_pallas_extract_matches_xla():
     k = 8
     roots, areas = jax.jit(
         lambda l: _top_k_components(l.reshape(-1), k))(jnp.asarray(labels))
-    qx = _extreme_quads(jnp.asarray(labels).reshape(-1), roots, areas,
-                        *img.shape)
+    qx = _extreme_quads(jnp.asarray(labels).reshape(-1), roots, *img.shape)
     qp = extreme_quads_pallas(jnp.asarray(labels)[None],
                               jnp.asarray(roots)[None], k=k, strip=16,
                               interpret=True)[0]

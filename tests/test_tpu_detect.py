@@ -157,3 +157,22 @@ def test_rendered_batch_6x6():
     assert list(ids[valid]) == [201]
     corners = np.asarray(out["6X6_250"]["corners"][0][valid][0])
     assert np.abs(corners - quad).max() < 2.5
+
+
+def test_topk_min_pool_keeps_thin_rings():
+    """A 1-px ring lying entirely on odd rows/columns must survive the
+    subsampled top-k ranking (min-pooling, not plain striding — plain
+    [::2, ::2] would drop it entirely)."""
+    from ar_slam_tpu.detect.tpu_detect import _top_k_subsampled
+
+    img = np.zeros((40, 160), bool)
+    # 1-px ring with every pixel on an odd row or odd column
+    img[5, 7:19] = True    # top edge: row 5 (odd)
+    img[15, 7:19] = True   # bottom edge: row 15 (odd)
+    img[5:16, 7] = True    # left edge: col 7 (odd)
+    img[5:16, 17] = True   # right edge: col 17 (odd)
+    labels = connected_components(jnp.asarray(img), 6)
+    roots, areas = _top_k_subsampled(labels, 4, 2)
+    roots = np.asarray(roots)
+    true_root = int(np.asarray(labels)[img].min())
+    assert true_root in roots[np.asarray(areas) > 0], (roots, areas)
