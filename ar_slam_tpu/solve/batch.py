@@ -32,6 +32,57 @@ from ar_slam_tpu.solve.lm import LMConfig, lm_solve
 logger = logging.getLogger(__name__)
 
 
+def apply_wave_seeds_multi(camera, cap_poses, tag_poses, cap_idx, tag_idx,
+                           corners, seed_caps, seed_blocks, tag_init_blocks,
+                           tag_init_wave, aruco_size, seed_mode):
+    """Seed a SEQUENCE of waves in one traced scan (wave w seeds its
+    capture, then initializes the tags first seen in wave w — through the
+    freshly seeded capture, like the per-wave prologue).
+
+    Args:
+      seed_caps: (W,) int32 capture index per wave.
+      seed_blocks: (W,) int32 seed block row per wave (-1 = keep pose /
+        padding wave).
+      tag_init_blocks: (T,) int32 block row initializing each tag (-1 =
+        keep).
+      tag_init_wave: (T,) int32 wave at which the tag initializes.
+    """
+    t_ids = jnp.arange(tag_poses.shape[0], dtype=jnp.int32)
+
+    def body(carry, wave):
+        cap_poses, tag_poses = carry
+        w, seed_cap, seed_block = wave
+
+        def seed_pose(cp):
+            blk_corners = corners[seed_block]
+            tag_pose = tag_poses[tag_idx[seed_block]]
+            pose = seed_capture_pose(blk_corners, camera, tag_pose,
+                                     aruco_size, mode=seed_mode)
+            return cp.at[seed_cap].set(pose)
+
+        cap_poses = jax.lax.cond(seed_block >= 0, seed_pose,
+                                 lambda cp: cp, cap_poses)
+
+        def seed_tag(t, init_blk, init_w):
+            def do():
+                blk_corners = corners[init_blk]
+                cap_pose = cap_poses[cap_idx[init_blk]]
+                return seed_tag_pose(blk_corners, camera, cap_pose,
+                                     aruco_size, mode=seed_mode)
+
+            return jax.lax.cond((init_blk >= 0) & (init_w == w), do,
+                                lambda: tag_poses[t])
+
+        tag_poses = jax.vmap(seed_tag)(t_ids, tag_init_blocks, tag_init_wave)
+        return (cap_poses, tag_poses), None
+
+    n_waves = seed_caps.shape[0]
+    waves = (jnp.arange(n_waves, dtype=jnp.int32), seed_caps, seed_blocks)
+    (cap_poses, tag_poses), _ = jax.lax.scan(body, (cap_poses, tag_poses),
+                                             waves)
+    return cap_poses, tag_poses
+
+
 def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
                      seed_cap, seed_block, tag_init_blocks, aruco_size,
                      seed_mode):
@@ -76,7 +127,7 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
 @partial(jax.jit,
          static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode",
                           "obs_per_tag"))
-def solve_wave(
+def solve_wave_multi(
     camera,
     cap_poses,
     tag_poses,
@@ -87,9 +138,10 @@ def solve_wave(
     cam_active,
     cap_active,
     tag_active,
-    seed_cap,
-    seed_block,
+    seed_caps,
+    seed_blocks,
     tag_init_blocks,
+    tag_init_wave,
     lm_enabled,
     *,
     aruco_size: float,
@@ -98,15 +150,14 @@ def solve_wave(
     seed_mode: str = "hybrid",
     obs_per_tag: int | None = None,
 ):
-    """One solver wave: optional capture seeding + lazy tag init + full LM.
-
-    ``lm_enabled`` is traced: False runs only the seed prologue (zero LM
-    iterations) in the same compiled program — used by
-    solver_config.optimize_every to batch several attach waves per solve.
-    """
-    cap_poses, tag_poses = apply_wave_seeds(
+    """A BATCH of solver waves in one device call: the whole accumulated
+    seed sequence (lax.scan) followed by at most one LM solve.  With
+    solver.optimize_every=k this turns k host→device round trips (~25 ms
+    each through the tunnel) into one."""
+    cap_poses, tag_poses = apply_wave_seeds_multi(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-        seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
+        seed_caps, seed_blocks, tag_init_blocks, tag_init_wave, aruco_size,
+        seed_mode,
     )
     return lm_solve(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners, block_mask,
@@ -219,6 +270,9 @@ class _WaveRunner:
         self.tag_initialized = np.zeros(self.t_pad, dtype=bool)
         self.active_tags = np.zeros(self.t_pad, dtype=bool)
         self.last_info = None
+        # accumulated seed-only waves awaiting one fused device call
+        self._pending: list[tuple[int, int]] = []  # (cap_index, seed_row)
+        self._pending_tag_inits: list[tuple[int, int, int]] = []  # (t, row, w)
 
     def run_wave(self, cap_index: int, seed_block: int | None,
                  optimize: bool = True):
@@ -237,66 +291,107 @@ class _WaveRunner:
             if not self.tag_initialized[t]:
                 self.tag_initialized[t] = True
                 init_pairs.append((t, self.row_of_block[bh]))
-        if self._dist_wave is None:
-            tag_init_blocks = np.full(self.t_pad, -1, dtype=np.int32)
-            for t, row in init_pairs:
-                tag_init_blocks[t] = row
-        else:
-            # renumbered tag space (tags live sharded in shard order)
-            tag_inv = self._prob.prep["tag_inv"]
-            tag_init_blocks = np.full(self.t_new, -1, dtype=np.int32)
-            for t, row in init_pairs:
-                tag_init_blocks[tag_inv[t]] = row
 
-        cap_active = np.zeros(self.c_pad, dtype=bool)
-        cap_active[list(self.active_caps)] = True
         seed_row = -1 if seed_block is None else int(
             self.row_of_block[seed_block]
         )
 
-        # NOTE: active_blocks / active_tags are mutated in place across
-        # waves while dispatch is async; jnp.asarray on CPU may alias the
-        # host buffer zero-copy, so hand the device an immutable copy.
         if self._dist_wave is None:
-            (self.camera, self.cap_poses, self.tag_poses, info) = solve_wave(
+            # accumulate; dispatch ONE fused multi-wave program when this
+            # wave optimizes (or at finish)
+            w = len(self._pending)
+            self._pending.append((cap_index, seed_row))
+            for t, row in init_pairs:
+                self._pending_tag_inits.append((t, int(row), w))
+            if optimize:
+                return self._flush(lm_enabled=True)
+            return None
+
+        # distributed path: one device call per wave (unchanged)
+        tag_inv = self._prob.prep["tag_inv"]
+        tag_init_blocks = np.full(self.t_new, -1, dtype=np.int32)
+        for t, row in init_pairs:
+            tag_init_blocks[tag_inv[t]] = row
+
+        cap_active = np.zeros(self.c_pad, dtype=bool)
+        cap_active[list(self.active_caps)] = True
+        prob = self._prob
+        (cam_a, cap_a, seed_c, seed_b, lm_en) = prob.put_rep(
+            np.asarray(True), cap_active,
+            np.asarray(cap_index, np.int32),
+            np.asarray(seed_row, np.int32),
+            np.asarray(optimize),
+        )
+        (self.camera, self.cap_poses, self.tag_poses, info) = (
+            self._dist_wave(
+                self.camera, self.cap_poses, self.tag_poses,
+                self.cap_idx, self.tag_idx, self.corners,
+                prob.block_mask(self.active_blocks),
+                cam_a, cap_a, prob.put_tag_mask(self.active_tags.copy()),
+                seed_c, seed_b, prob.put_blocks(tag_init_blocks),
+                lm_en,
+            )
+        )
+        self.last_info = info
+        return info
+
+    def _flush(self, lm_enabled: bool):
+        """Dispatch the accumulated waves as one fused device call.
+
+        NOTE: active_blocks / active_tags are mutated in place across waves
+        while dispatch is async; jnp.asarray on CPU may alias the host
+        buffer zero-copy, so hand the device an immutable copy.
+        """
+        if not self._pending:
+            return self.last_info
+        n = len(self._pending)
+        from ar_slam_tpu.graph.arrays import bucket_size
+
+        w_pad = bucket_size(n, floor=1)
+        seed_caps = np.zeros(w_pad, dtype=np.int32)
+        seed_blocks = np.full(w_pad, -1, dtype=np.int32)
+        for w, (cap_index, seed_row) in enumerate(self._pending):
+            seed_caps[w] = cap_index
+            seed_blocks[w] = seed_row
+        tag_init_blocks = np.full(self.t_pad, -1, dtype=np.int32)
+        tag_init_wave = np.zeros(self.t_pad, dtype=np.int32)
+        for t, row, w in self._pending_tag_inits:
+            tag_init_blocks[t] = row
+            tag_init_wave[t] = w
+        self._pending.clear()
+        self._pending_tag_inits.clear()
+
+        cap_active = np.zeros(self.c_pad, dtype=bool)
+        cap_active[list(self.active_caps)] = True
+
+        (self.camera, self.cap_poses, self.tag_poses, info) = (
+            solve_wave_multi(
                 self.camera, self.cap_poses, self.tag_poses,
                 self.cap_idx, self.tag_idx, self.corners,
                 jnp.asarray(self.active_blocks.copy()),
                 jnp.asarray(True),
                 jnp.asarray(cap_active),
                 jnp.asarray(self.active_tags.copy()),
-                jnp.asarray(cap_index, jnp.int32),
-                jnp.asarray(seed_row, jnp.int32),
+                jnp.asarray(seed_caps),
+                jnp.asarray(seed_blocks),
                 jnp.asarray(tag_init_blocks),
-                jnp.asarray(optimize),
+                jnp.asarray(tag_init_wave),
+                jnp.asarray(lm_enabled),
                 aruco_size=self.aruco_size,
                 config=self.config,
                 assemble_fn=self.assemble_fn,
                 seed_mode=self.seed_mode,
                 obs_per_tag=self.obs_per_tag,
             )
-        else:
-            prob = self._prob
-            (cam_a, cap_a, seed_c, seed_b, lm_en) = prob.put_rep(
-                np.asarray(True), cap_active,
-                np.asarray(cap_index, np.int32),
-                np.asarray(seed_row, np.int32),
-                np.asarray(optimize),
-            )
-            (self.camera, self.cap_poses, self.tag_poses, info) = (
-                self._dist_wave(
-                    self.camera, self.cap_poses, self.tag_poses,
-                    self.cap_idx, self.tag_idx, self.corners,
-                    prob.block_mask(self.active_blocks),
-                    cam_a, cap_a, prob.put_tag_mask(self.active_tags.copy()),
-                    seed_c, seed_b, prob.put_blocks(tag_init_blocks),
-                    lm_en,
-                )
-            )
+        )
         self.last_info = info
         return info
 
     def finish(self):
+        if self._dist_wave is None:
+            # leftover seed-only waves (optimize_every tail without a final
+            # optimizing wave)
+            self._flush(lm_enabled=False)
         tag_poses = np.asarray(self.tag_poses)
         if self._dist_wave is not None:
             tag_poses = self._prob.tags_to_old(tag_poses, self.t_pad)

@@ -171,10 +171,13 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
     k_pad = bucket_size(max(len(mb) for _, _, mb in queries), floor=4)
     t_pad = bucket_size(max(len(store.arucos), 1))
     q = len(queries)
-    q_tag_idx = np.zeros((q, k_pad), dtype=np.int32)
-    q_corners = np.zeros((q, k_pad, 4, 2), dtype=dtype)
-    q_mask = np.zeros((q, k_pad), dtype=bool)
-    q_seed = np.zeros(q, dtype=np.int32)
+    # bucket the query axis too: each distinct count is a fresh compile
+    # (padded queries have all-false masks; their solves are discarded)
+    q_pad = bucket_size(q, floor=4)
+    q_tag_idx = np.zeros((q_pad, k_pad), dtype=np.int32)
+    q_corners = np.zeros((q_pad, k_pad, 4, 2), dtype=dtype)
+    q_mask = np.zeros((q_pad, k_pad), dtype=bool)
+    q_seed = np.zeros(q_pad, dtype=np.int32)
     for qi, (cap, seed_block, map_blocks) in enumerate(queries):
         for ki, bh in enumerate(map_blocks):
             block = store.blocks[bh]
@@ -199,8 +202,8 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
         config=_lm_config(config.solver, config.camera),
         seed_mode=config.solver.seed_mode,
     )
-    poses = np.asarray(poses)
-    costs = np.asarray(costs)
+    poses = np.asarray(poses)[:q]
+    costs = np.asarray(costs)[:q]
     for qi, (cap, _, _) in enumerate(queries):
         cap.inv_pose[:] = poses[qi]
     n_blocks = int(q_mask.sum())
