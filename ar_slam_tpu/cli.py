@@ -28,6 +28,14 @@ def _is_yaml(fn: str) -> bool:
     return fn.endswith((".yaml", ".yml"))
 
 
+
+def _maybe_print_metrics(args, engine) -> None:
+    """--metrics: per-stage counters/timings (SURVEY §5.5 observability)."""
+    if getattr(args, "metrics", False):
+        print(json.dumps({"metrics": engine.metrics.summary()}),
+              file=sys.stderr)
+
+
 def cmd_map(args) -> int:
     from ar_slam_tpu.pipeline.engine import ArSlamEngine
 
@@ -46,6 +54,7 @@ def cmd_map(args) -> int:
     engine.save_map(args.output)
     print(f"solved {summary.get('waves', 0)} captures, "
           f"rmse {summary.get('rmse', float('nan')):.4f} px -> {args.output}")
+    _maybe_print_metrics(args, engine)
     return 0
 
 
@@ -68,6 +77,7 @@ def cmd_localize(args) -> int:
         print(f"{uid}: {status}")
     print(f"localized {result.get('localized', 0)} captures, "
           f"rmse {result.get('rmse', float('nan')):.4f} px -> {args.output}")
+    _maybe_print_metrics(args, engine)
     return 0
 
 
@@ -95,6 +105,7 @@ def cmd_detect(args) -> int:
                 for tid, c in dets
             ],
         }))
+    _maybe_print_metrics(args, engine)
     return 0
 
 
@@ -156,6 +167,7 @@ def cmd_serve(args) -> int:
         if args.output:
             engine.save_map(args.output)
         engine.close()
+        _maybe_print_metrics(args, engine)
     return 0
 
 
@@ -376,6 +388,9 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
+        sp.add_argument("--metrics", action="store_true",
+                        help="print the per-stage metrics summary (counts "
+                             "and timings) as JSON on stderr at exit")
         sp.add_argument("--cpu-detector", action="store_true",
                         help="use the NumPy oracle detector instead of the "
                              "batched device detector")
