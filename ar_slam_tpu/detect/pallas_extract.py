@@ -58,8 +58,38 @@ def _extract_kernel(roots_ref, l_ref, o_ref, *, strip: int):
         lin = y * jnp.float32(w) + x
         return member, score_fn(x, y), lin
 
+    # sweep 0 (full image): area + centroid + row extent.  Later sweeps
+    # only visit strips intersecting [ymin, ymax] — markers are small
+    # relative to the frame, so this cuts most of the per-candidate work.
+    def sums(s, carry):
+        area, sx, sy, ymin, ymax = carry
+        lab = l_ref[0, pl.ds(s * strip, strip), :]
+        member = lab == root
+        x = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1).astype(
+            jnp.float32)
+        y = (jnp.float32(s * strip)
+             + jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0).astype(
+                 jnp.float32))
+        mf = member.astype(jnp.float32)
+        ymin = jnp.minimum(ymin, jnp.min(jnp.where(member, y, POS)))
+        ymax = jnp.maximum(ymax, jnp.max(jnp.where(member, y, NEG)))
+        return (area + jnp.sum(mf), sx + jnp.sum(mf * x),
+                sy + jnp.sum(mf * y), ymin, ymax)
+
+    area, sx, sy, ymin, ymax = jax.lax.fori_loop(
+        0, n_strips, sums,
+        (jnp.float32(0), jnp.float32(0), jnp.float32(0), POS, NEG))
+    safe = jnp.maximum(area, 1.0)
+    cx, cy = sx / safe, sy / safe
+    # strip range covering the component (empty slot -> empty range)
+    s_lo = jnp.where(area > 0, ymin, 0.0).astype(jnp.int32) // strip
+    s_hi = jnp.where(area > 0,
+                     ymax.astype(jnp.int32) // strip + 1,
+                     jnp.int32(0))
+
     def arg_extreme(score_fn, maximize=True):
-        """Global arg-extreme of score over member pixels -> (x, y)."""
+        """Arg-extreme of score over member pixels -> (x, y); scans only
+        the strips the component touches."""
 
         def body(s, carry):
             best, bl = carry
@@ -74,30 +104,11 @@ def _extract_kernel(roots_ref, l_ref, o_ref, *, strip: int):
             return best, bl
 
         init = (NEG, POS) if maximize else (POS, POS)
-        _, bl = jax.lax.fori_loop(0, n_strips, body, init)
+        _, bl = jax.lax.fori_loop(s_lo, s_hi, body, init)
         # empty component (padding slot): pixel (0, 0), like the XLA
         # path's argmax over an all-masked row
         bl = jnp.where(bl >= POS, 0.0, bl)
         return jnp.mod(bl, w), jnp.floor(bl / w)
-
-    # sweep 0: area + centroid (one strip read per step)
-    def sums(s, carry):
-        area, sx, sy = carry
-        lab = l_ref[0, pl.ds(s * strip, strip), :]
-        member = lab == root
-        x = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1).astype(
-            jnp.float32)
-        y = (jnp.float32(s * strip)
-             + jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0).astype(
-                 jnp.float32))
-        mf = member.astype(jnp.float32)
-        return (area + jnp.sum(mf), sx + jnp.sum(mf * x),
-                sy + jnp.sum(mf * y))
-
-    area, sx, sy = jax.lax.fori_loop(
-        0, n_strips, sums, (jnp.float32(0), jnp.float32(0), jnp.float32(0)))
-    safe = jnp.maximum(area, 1.0)
-    cx, cy = sx / safe, sy / safe
 
     ax, ay = arg_extreme(lambda x, y: (x - cx) ** 2 + (y - cy) ** 2)
     ccx, ccy = arg_extreme(lambda x, y: (x - ax) ** 2 + (y - ay) ** 2)
