@@ -91,3 +91,54 @@ def test_optimize_every_batches_waves():
     assert out1["waves"] == out3["waves"] == 6
     # both schedules land in the same optimum basin
     assert out3["rmse"] < max(2.5 * out1["rmse"], 0.5)
+
+
+def test_engine_map_6x6_scene(tmp_path):
+    """Full engine flow on a rendered 6X6_250 scene: detect -> map ->
+    map.yaml with 6x6 tag ids (the third reference aruco_dict option,
+    end to end)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from ar_slam_tpu.config import ArSlamConfig
+    from ar_slam_tpu.detect.gen import render_marker
+    from ar_slam_tpu.graph import MapStore, load_yaml
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+    from tests.test_detect import place_marker
+
+    rng = np.random.default_rng(5)
+    # 3 views of 4 tags in a row; camera shifts between views
+    tag_quads = {
+        tid: np.array([[60 + i * 150, 180], [170 + i * 150, 180],
+                       [170 + i * 150, 290], [60 + i * 150, 290]], float)
+        for i, tid in enumerate((3, 57, 120, 201))
+    }
+    paths = []
+    for v in range(3):
+        canvas = np.full((480, 700), 205, dtype=np.uint8)
+        shift = np.array([v * 18.0, v * 7.0])
+        for tid, quad in tag_quads.items():
+            q = quad - shift + rng.uniform(-1, 1, size=(4, 2))
+            if q.min() < 2 or q[:, 0].max() > 698 or q[:, 1].max() > 478:
+                continue
+            place_marker(canvas, render_marker("6X6_250", tid, 160), q)
+        p = tmp_path / f"view{v}.png"
+        Image.fromarray(canvas).save(p)
+        paths.append(str(p))
+
+    cfg = ArSlamConfig()
+    cfg = dataclasses.replace(
+        cfg, detect=dataclasses.replace(cfg.detect,
+                                        dictionaries=("6X6_250",)))
+    engine = ArSlamEngine(config=cfg, use_tpu_detector=False)
+    engine.add_images(paths)
+    summary = engine.solve()
+    out = tmp_path / "map6.yaml"
+    engine.save_map(str(out))
+    store = MapStore()
+    load_yaml(store, str(out))
+    ids = {t.id for t in store.arucos}
+    assert {"aruco_6X6_250_3", "aruco_6X6_250_57",
+            "aruco_6X6_250_120", "aruco_6X6_250_201"} <= ids
+    assert summary["rmse"] < 2.0, summary

@@ -344,3 +344,27 @@ def test_make_map_service(tmp_path):
     finally:
         server.close()
     assert result.get("ok")
+
+
+def test_make_map_response_builds_yaml(tmp_path):
+    """The serve-side MakeMap fulfilment: images in, solved map YAML out."""
+    import argparse
+
+    from ar_slam_tpu.cli import _make_map_response
+    from ar_slam_tpu.graph import MapStore, load_yaml
+
+    imgs = [f"/root/reference/ar_slam/resources/images/img{i}.jpg"
+            for i in (1, 2, 3)]
+    if not os.path.exists(imgs[0]):
+        pytest.skip("demo images unavailable")
+    args = argparse.Namespace(cpu_detector=True)
+    resp = _make_map_response(args, imgs)
+    assert resp["success"], resp
+    fn = tmp_path / "mm.yaml"
+    fn.write_text(resp["yaml"])
+    store = MapStore()
+    load_yaml(store, str(fn))
+    assert len(store.captures) == 3 and len(store.arucos) >= 5
+    # failure path: unreadable input reports, does not raise
+    resp = _make_map_response(args, [str(tmp_path / "nope.jpg")])
+    assert not resp["success"] and "make_map failed" in resp["message"]
