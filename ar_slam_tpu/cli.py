@@ -320,6 +320,11 @@ def _config(args):
             cfg,
             camera=dataclasses.replace(cfg.camera, enable_distortion=True),
         )
+    if getattr(args, "iterative_schur", False):
+        cfg = dataclasses.replace(
+            cfg,
+            solver=dataclasses.replace(cfg.solver, linear_solver="cg"),
+        )
     every = getattr(args, "optimize_every", 0)
     if every and every > 1:
         cfg = dataclasses.replace(
@@ -416,6 +421,11 @@ def main(argv=None) -> int:
                         help="detection working resolution: downscale "
                              "larger images before the detector, corners "
                              "reported at full resolution (0 = off)")
+        sp.add_argument("--iterative-schur", action="store_true",
+                        help="solve the reduced camera system with "
+                             "implicit-Schur preconditioned CG instead of "
+                             "dense Cholesky (faster at large capture "
+                             "counts; ≙ ceres ITERATIVE_SCHUR)")
         sp.add_argument("--optimize-every", type=int, default=0,
                         help="run the full optimization only every Nth "
                              "capture wave (always the last) instead of "

@@ -46,6 +46,12 @@ class SolverConfig:
     # by function/parameter tolerances + trust-region stall detection)
     # Jacobi (column-norm) scaling of the normal equations, as ceres does.
     jacobi_scaling: bool = True
+    # Reduced-system solver: "dense" Cholesky (≙ ceres DENSE_SCHUR,
+    # ar_slam_util.cpp:1011) or "cg" — implicit-Schur preconditioned CG
+    # (≙ ITERATIVE_SCHUR + SCHUR_JACOBI; wins at large capture counts).
+    linear_solver: str = "dense"
+    cg_tolerance: float = 1e-2
+    cg_max_iterations: int = 100
     # Fix the gauge of the seed capture.  The reference leaves the gauge free
     # (disabled code at ar_slam_util.cpp:776-779); off by default for parity.
     fix_first_capture: bool = False

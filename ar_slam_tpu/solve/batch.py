@@ -197,6 +197,9 @@ def _lm_config(cfg, camera_cfg=None) -> LMConfig:
         jacobi_scaling=cfg.jacobi_scaling,
         enable_distortion=bool(getattr(camera_cfg, "enable_distortion",
                                        False)),
+        linear_solver=getattr(cfg, "linear_solver", "dense"),
+        cg_tolerance=getattr(cfg, "cg_tolerance", 1e-2),
+        cg_max_iterations=getattr(cfg, "cg_max_iterations", 100),
     )
 
 

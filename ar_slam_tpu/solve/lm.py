@@ -36,6 +36,7 @@ from ar_slam_tpu.solve.schur import (
     group_blocks_by_tag,
     schur_solve,
     schur_solve_grouped,
+    schur_solve_grouped_cg,
 )
 
 
@@ -55,6 +56,12 @@ class LMConfig(NamedTuple):
     # l1, l2 but leaves the model commented out, ar_slam_util.cpp:164-171);
     # off = parity (l1, l2 have zero gradient and stay fixed)
     enable_distortion: bool = False
+    # reduced-system solver: "dense" = Cholesky on the (3+6C) system
+    # (≙ DENSE_SCHUR); "cg" = implicit-Schur preconditioned CG
+    # (≙ ITERATIVE_SCHUR; wins at large capture counts).  grouped path only.
+    linear_solver: str = "dense"
+    cg_tolerance: float = 1e-2
+    cg_max_iterations: int = 100
 
 
 class LMState(NamedTuple):
@@ -308,11 +315,20 @@ def lm_solve(
             n_tags, obs_per_tag, distortion=config.enable_distortion,
         )
 
-        def solve_fn(eqs, lam):
-            return schur_solve_grouped(
-                eqs, lam, cam_active, cap_active, tag_active,
-                jacobi_scaling=config.jacobi_scaling,
-            )
+        if config.linear_solver == "cg":
+            def solve_fn(eqs, lam):
+                return schur_solve_grouped_cg(
+                    eqs, lam, cam_active, cap_active, tag_active,
+                    jacobi_scaling=config.jacobi_scaling,
+                    cg_tol=config.cg_tolerance,
+                    cg_iters=config.cg_max_iterations,
+                )
+        else:
+            def solve_fn(eqs, lam):
+                return schur_solve_grouped(
+                    eqs, lam, cam_active, cap_active, tag_active,
+                    jacobi_scaling=config.jacobi_scaling,
+                )
 
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,

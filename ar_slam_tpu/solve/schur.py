@@ -183,11 +183,12 @@ def assemble_grouped(r, jc, jp, jt, cap_idx, n_caps: int, n_tags: int,
     return GroupedEqs(hcc, hcp, hpp, wt_raw, htt, g_c, g_p, g_t)
 
 
-def eliminate_tags_grouped(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
-                           jacobi_scaling: bool = True,
-                           min_diag: float = 1e-6, max_diag: float = 1e32):
-    """Schur-eliminate tag blocks from the grouped coupling slab.  Same
-    math as eliminate_tags, minus the dense-(6C, 6T) W assembly."""
+def _scale_and_damp_tags(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
+                         jacobi_scaling: bool = True,
+                         min_diag: float = 1e-6, max_diag: float = 1e32):
+    """Shared prologue of the grouped eliminations: Jacobi-scale the
+    coupling slab / tag blocks / tag gradients, damp V, batch-invert.
+    Returns (wt, v_inv, g_t_scaled, s_t)."""
     dtype = htt.dtype
     tag_m = tag_active.astype(dtype)
 
@@ -208,10 +209,110 @@ def eliminate_tags_grouped(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
     htt = jnp.where(tag_m[:, None, None] > 0, htt, eye6)
 
     v_inv = jnp.linalg.inv(htt)  # (t, 6, 6), batched
+    return wt, v_inv, g_t, s_t
+
+
+def eliminate_tags_grouped(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
+                           jacobi_scaling: bool = True,
+                           min_diag: float = 1e-6, max_diag: float = 1e32):
+    """Schur-eliminate tag blocks from the grouped coupling slab.  Same
+    math as eliminate_tags, minus the dense-(6C, 6T) W assembly."""
+    wt, v_inv, g_t, s_t = _scale_and_damp_tags(
+        wt_raw, htt, g_t, s_c, s_p, tag_active, lam, jacobi_scaling,
+        min_diag, max_diag,
+    )
     y = jnp.einsum("tnk,tkj->tnj", wt, v_inv)  # (t, Nr, 6)
     wvw = jnp.einsum("tnk,tmk->nm", y, wt)  # (Nr, Nr), additive over shards
     wvg = jnp.einsum("tnk,tk->n", y, g_t)  # (Nr,), additive over shards
     return wvw, wvg, v_inv, wt, g_t, s_t
+
+
+def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
+                           tag_active, jacobi_scaling: bool = True,
+                           min_diag: float = 1e-6, max_diag: float = 1e32,
+                           cg_tol: float = 1e-2, cg_iters: int = 100):
+    """ITERATIVE_SCHUR analogue: preconditioned CG on the reduced camera
+    system with an IMPLICIT Schur complement.
+
+    Neither the dense (Nr, Nr) S nor its Cholesky is formed — the dominant
+    costs at scale (the T·Nr²·6 wvw einsum and the Nr³/3 factorization; at
+    2000 tags / 800 captures they were ~26 ms of a 33 ms iteration).  Each
+    CG step applies S·v = A·v − W (V⁻¹ (Wᵀ v)) in O(C·36 + T·Nr·6) flops.
+    Preconditioner: SCHUR_JACOBI — the exact block diagonal of S (damped
+    camera/capture blocks minus the per-block tag correction), batch
+    inverted.  Inexact steps compose fine with the LM trust region (ceres
+    ships the same combination as ITERATIVE_SCHUR).
+    """
+    dtype = eqs.hcc.dtype
+    c = eqs.hpp.shape[0]
+    s_c, s_p = cap_scale_vectors(eqs, cam_active, cap_active, jacobi_scaling)
+    wt, v_inv, g_t_s, s_t = _scale_and_damp_tags(
+        eqs.wt_raw, eqs.htt, eqs.g_t, s_c, s_p, tag_active, lam,
+        jacobi_scaling, min_diag, max_diag,
+    )
+
+    cam_m = jnp.broadcast_to(cam_active, ()).astype(dtype)
+    cap_m = cap_active.astype(dtype)
+    m_r = jnp.concatenate(
+        [jnp.broadcast_to(cam_m, (3,)), jnp.repeat(cap_m, 6)])
+
+    hcc = eqs.hcc * s_c[:, None] * s_c[None, :]
+    hcp = eqs.hcp * s_c[None, :, None] * s_p[:, None, :]
+    hpp = eqs.hpp * s_p[:, :, None] * s_p[:, None, :]
+    g_c = eqs.g_c * s_c
+    g_p = eqs.g_p * s_p
+
+    dd_c = jnp.clip(jnp.diagonal(hcc), min_diag, max_diag)
+    dd_p = jnp.clip(jnp.diagonal(hpp, axis1=-2, axis2=-1), min_diag, max_diag)
+    eye6 = jnp.eye(6, dtype=dtype)
+    hcc = hcc + lam * jnp.diag(dd_c)
+    hpp = hpp + lam * dd_p[:, :, None] * eye6
+
+    wt_cam = wt[:, :3, :]  # (T, 3, 6)
+    wt_pp = wt[:, 3:, :].reshape(-1, c, 6, 6)  # (T, C, 6, 6)
+
+    def s_mv(v):
+        vm = v * m_r
+        vc = vm[:3]
+        vp = vm[3:].reshape(c, 6)
+        out_c = hcc @ vc + jnp.einsum("cij,cj->i", hcp, vp)
+        out_p = (jnp.einsum("cij,i->cj", hcp, vc)
+                 + jnp.einsum("cij,cj->ci", hpp, vp))
+        av = jnp.concatenate([out_c, out_p.reshape(-1)])
+        u = jnp.einsum("tnk,n->tk", wt, vm)  # (T, 6)
+        z = jnp.einsum("tkj,tj->tk", v_inv, u)
+        av = av - jnp.einsum("tnk,tk->n", wt, z)
+        return av * m_r + (1.0 - m_r) * v
+
+    # rhs = -g + W V^-1 g_t (masked)
+    y_g = jnp.einsum("tkj,tj->tk", v_inv, g_t_s)
+    wvg = jnp.einsum("tnk,tk->n", wt, y_g)
+    g_r = jnp.concatenate([g_c, g_p.reshape(-1)])
+    rhs = (-g_r + wvg) * m_r
+
+    # SCHUR_JACOBI preconditioner: exact block diagonal of S
+    dg_c = jnp.einsum("tik,tkl,tjl->ij", wt_cam, v_inv, wt_cam)
+    dg_p = jnp.einsum("tcik,tkl,tcjl->cij", wt_pp, v_inv, wt_pp)
+    pc_c = hcc - dg_c
+    pc_c = pc_c * cam_m + jnp.eye(3, dtype=dtype) * (1.0 - cam_m)
+    pc_p = hpp - dg_p
+    pc_p = jnp.where(cap_m[:, None, None] > 0, pc_p, eye6)
+    pc_c_inv = jnp.linalg.inv(pc_c)
+    pc_p_inv = jnp.linalg.inv(pc_p)
+
+    def m_inv(v):
+        vc = pc_c_inv @ v[:3]
+        vp = jnp.einsum("cij,cj->ci", pc_p_inv, v[3:].reshape(c, 6))
+        return jnp.concatenate([vc, vp.reshape(-1)])
+
+    delta_r, _ = jax.scipy.sparse.linalg.cg(
+        s_mv, rhs, M=m_inv, tol=cg_tol, maxiter=cg_iters)
+    delta_r = delta_r * m_r
+
+    delta_cam = delta_r[0:3] * s_c
+    delta_cap = delta_r[3:].reshape(c, 6) * s_p
+    delta_tag = backsub_tags(v_inv, wt, g_t_s, s_t, tag_active, delta_r)
+    return delta_cam, delta_cap, delta_tag
 
 
 def schur_solve_grouped(eqs: GroupedEqs, lam, cam_active, cap_active,

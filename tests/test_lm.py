@@ -382,3 +382,31 @@ def test_grouped_assembly_exact_under_bf16_default():
     np.testing.assert_allclose(grouped.hpp, flat.hpp, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(grouped.hcp, flat.hcp, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(grouped.g_p, flat.g_p, rtol=1e-6, atol=1e-6)
+
+
+def test_lm_iterative_schur_matches_dense():
+    """linear_solver='cg' (implicit-Schur PCG, ≙ ITERATIVE_SCHUR) reaches
+    the same optimum as the dense Cholesky path."""
+    arrs, cap_poses, tag_poses = _perturbed_problem()
+    nT = arrs.tag_poses.shape[0]
+    s_max = int(np.bincount(
+        arrs.tag_idx[arrs.block_mask], minlength=nT).max())
+
+    def run(solver):
+        return lm_solve(
+            jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+            jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
+            jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
+            jnp.asarray(arrs.block_mask), jnp.asarray(True),
+            jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+            aruco_size=ARUCO_SIZE,
+            config=LMConfig(max_iterations=120, linear_solver=solver),
+            obs_per_tag=s_max)
+
+    cam_d, caps_d, _, info_d = run("dense")
+    cam_i, caps_i, _, info_i = run("cg")
+    rmse_d = rmse_from_cost(float(info_d["cost"]), arrs.n_blocks)
+    rmse_i = rmse_from_cost(float(info_i["cost"]), arrs.n_blocks)
+    assert rmse_d < 1e-5 and rmse_i < 1e-5, (rmse_d, rmse_i)
+    np.testing.assert_allclose(np.asarray(cam_i), np.asarray(cam_d),
+                               rtol=1e-3, atol=1e-3)
