@@ -154,7 +154,7 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             lin_fn, quality_fn, config: LMConfig, enabled=True,
-            solve_fn=None, iter_budget=None):
+            solve_fn=None, iter_budget=None, solver_state0=None):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
     The linearization (residuals + Jacobian blocks + assembled normal
@@ -169,13 +169,18 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
 
     ``solve_fn(eqs, lam) -> (d_cam, d_cap, d_tag)`` overrides the damped
     Schur solve (the distributed solver supplies a tag-sharded version);
-    default = single-device ``schur_solve``.
+    default = single-device ``schur_solve``.  With ``solver_state0`` set,
+    the convention becomes ``solve_fn(eqs, lam, state) -> (d_cam, d_cap,
+    d_tag, state)`` — the state threads through the loop (the CG path
+    warm-starts from the previous reduced solution).
 
     ``iter_budget`` (traced int, optional) caps iterations below
     config.max_iterations WITHOUT recompiling — one compiled program
     serves any budget (benchmarks time two budgets and subtract).
     """
     dtype = cap_poses.dtype
+    stateful = solver_state0 is not None
+    sol0 = solver_state0 if stateful else jnp.zeros((), dtype)
     if solve_fn is None:
         def solve_fn(eqs, lam):
             return schur_solve(
@@ -196,8 +201,11 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     )
 
     def body(carry):
-        state, eqs, aux = carry
-        d_cam, d_cap, d_tag = solve_fn(eqs, state.lam)
+        state, eqs, aux, sol = carry
+        if stateful:
+            d_cam, d_cap, d_tag, sol = solve_fn(eqs, state.lam, sol)
+        else:
+            d_cam, d_cap, d_tag = solve_fn(eqs, state.lam)
 
         new_camera = state.camera + d_cam
         new_caps = state.cap_poses + d_cap
@@ -252,7 +260,13 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             return eqs, aux
 
         eqs_n, aux_n = jax.lax.cond(accept & ~converged, do_lin, keep, None)
-        return new_state, eqs_n, aux_n
+        if stateful:
+            # warm start helps only the rejected-step re-solve (same
+            # linearization, larger damping -> shrunk but aligned step);
+            # after an accept the next optimal step is near zero
+            sol = jax.tree_util.tree_map(
+                lambda s: jnp.where(accept, jnp.zeros_like(s), s), sol)
+        return new_state, eqs_n, aux_n, sol
 
     budget = jnp.asarray(
         config.max_iterations if iter_budget is None else iter_budget,
@@ -264,7 +278,8 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         state = carry[0]
         return (state.iteration < budget) & ~state.converged
 
-    final, _, _ = jax.lax.while_loop(cond, body, (state0, eqs0, aux0))
+    final, _, _, _ = jax.lax.while_loop(cond, body,
+                                        (state0, eqs0, aux0, sol0))
     info = {
         "cost": final.cost,
         "iterations": final.iteration,
@@ -315,13 +330,18 @@ def lm_solve(
             n_tags, obs_per_tag, distortion=config.enable_distortion,
         )
 
+        solver_state0 = None
         if config.linear_solver == "cg":
-            def solve_fn(eqs, lam):
+            # warm-start each CG from the previous reduced solution
+            solver_state0 = jnp.zeros(3 + 6 * n_caps, cap_poses.dtype)
+
+            def solve_fn(eqs, lam, x0):
                 return schur_solve_grouped_cg(
                     eqs, lam, cam_active, cap_active, tag_active,
                     jacobi_scaling=config.jacobi_scaling,
                     cg_tol=config.cg_tolerance,
                     cg_iters=config.cg_max_iterations,
+                    x0=x0,
                 )
         else:
             def solve_fn(eqs, lam):
@@ -333,7 +353,7 @@ def lm_solve(
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,
                        enabled=enabled, solve_fn=solve_fn,
-                       iter_budget=iter_budget)
+                       iter_budget=iter_budget, solver_state0=solver_state0)
     lin_fn, quality_fn = make_block_hooks(
         cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps, n_tags,
         distortion=config.enable_distortion,

@@ -230,9 +230,14 @@ def eliminate_tags_grouped(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
 def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
                            tag_active, jacobi_scaling: bool = True,
                            min_diag: float = 1e-6, max_diag: float = 1e32,
-                           cg_tol: float = 1e-2, cg_iters: int = 100):
+                           cg_tol: float = 1e-2, cg_iters: int = 100,
+                           x0=None):
     """ITERATIVE_SCHUR analogue: preconditioned CG on the reduced camera
     system with an IMPLICIT Schur complement.
+
+    ``x0`` optionally warm-starts CG (the previous LM iteration's reduced
+    solution — consecutive damped systems are close, so this cuts CG
+    iterations substantially).  Returns (d_cam, d_cap, d_tag, delta_r).
 
     Neither the dense (Nr, Nr) S nor its Cholesky is formed — the dominant
     costs at scale (the T·Nr²·6 wvw einsum and the Nr³/3 factorization; at
@@ -306,13 +311,13 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
         return jnp.concatenate([vc, vp.reshape(-1)])
 
     delta_r, _ = jax.scipy.sparse.linalg.cg(
-        s_mv, rhs, M=m_inv, tol=cg_tol, maxiter=cg_iters)
+        s_mv, rhs, x0=x0, M=m_inv, tol=cg_tol, maxiter=cg_iters)
     delta_r = delta_r * m_r
 
     delta_cam = delta_r[0:3] * s_c
     delta_cap = delta_r[3:].reshape(c, 6) * s_p
     delta_tag = backsub_tags(v_inv, wt, g_t_s, s_t, tag_active, delta_r)
-    return delta_cam, delta_cap, delta_tag
+    return delta_cam, delta_cap, delta_tag, delta_r
 
 
 def schur_solve_grouped(eqs: GroupedEqs, lam, cam_active, cap_active,
