@@ -320,6 +320,14 @@ def _config(args):
             cfg,
             camera=dataclasses.replace(cfg.camera, enable_distortion=True),
         )
+    loss = getattr(args, "robust_loss", "")
+    if loss:
+        cfg = dataclasses.replace(
+            cfg,
+            solver=dataclasses.replace(
+                cfg.solver, loss=loss,
+                loss_scale=getattr(args, "loss_scale", 4.0)),
+        )
     if getattr(args, "iterative_schur", False):
         cfg = dataclasses.replace(
             cfg,
@@ -421,6 +429,11 @@ def main(argv=None) -> int:
                         help="detection working resolution: downscale "
                              "larger images before the detector, corners "
                              "reported at full resolution (0 = off)")
+        sp.add_argument("--robust-loss", default="",
+                        help="robust loss: 'huber' downweights outlier "
+                             "observations (the reference uses none)")
+        sp.add_argument("--loss-scale", type=float, default=4.0,
+                        help="Huber delta in pixels of block residual norm")
         sp.add_argument("--iterative-schur", action="store_true",
                         help="solve the reduced camera system with "
                              "implicit-Schur preconditioned CG instead of "

@@ -52,6 +52,11 @@ class SolverConfig:
     linear_solver: str = "dense"
     cg_tolerance: float = 1e-2
     cg_max_iterations: int = 100
+    # robust loss: "trivial" ≙ the reference's nullptr loss function
+    # (ar_slam_util.cpp:832-836); "huber" downweights outlier observations
+    # (loss_scale = Huber delta, pixels of block residual norm)
+    loss: str = "trivial"
+    loss_scale: float = 4.0
     # Fix the gauge of the seed capture.  The reference leaves the gauge free
     # (disabled code at ar_slam_util.cpp:776-779); off by default for parity.
     fix_first_capture: bool = False

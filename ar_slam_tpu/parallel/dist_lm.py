@@ -36,7 +36,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ar_slam_tpu.parallel.mesh import BLOCK_AXIS
 from ar_slam_tpu.parallel.partition import prepare_tag_shards
 from ar_slam_tpu.solve.lm import LMConfig, lm_core
-from ar_slam_tpu.solve.residuals import linearize, residuals_only
+from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
+                                         residuals_only)
 from ar_slam_tpu.solve.schur import (
     CapEqs,
     assemble_grouped,
@@ -56,7 +57,8 @@ def _psum_tree(tree):
 
 def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                            jacobi_scaling=True, distortion=False,
-                           obs_per_tag: int = 8):
+                           obs_per_tag: int = 8, loss="trivial",
+                           loss_scale=1.0):
     """Build (group_fn, lin_fn, quality_fn, solve_fn factories) for lm_core
     with tags sharded over the mesh.
 
@@ -108,14 +110,14 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         )
         def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm):
             til = _local_tags(ti)
-            r, jc, jp, jt = linearize(
+            r, jc, jp, jt, rho = linearize(
                 camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
-                distortion,
+                distortion, loss, loss_scale,
             )
             g = assemble_grouped(r, jc, jp, jt, ci, n_caps, t_per, s_max)
             cap_eqs = _psum_tree(CapEqs(g.hcc, g.hcp, g.hpp, g.g_c, g.g_p))
             tag_side = (g.wt_raw, g.htt, g.g_t)
-            cost = jax.lax.psum(0.5 * jnp.sum(r * r), BLOCK_AXIS)
+            cost = jax.lax.psum(0.5 * jnp.sum(rho), BLOCK_AXIS)
             return (cap_eqs, tag_side), cost, (r, jc, jp, jt)
 
         def lin_fn(camera, cap_poses, tag_poses):
@@ -139,11 +141,11 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                      d_tag, ci, ti, crn, bm):
             r, jc, jp, jt = aux
             til = _local_tags(ti)
-            r_new = residuals_only(
+            r_new, rho_new = residuals_and_rho(
                 new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
-                distortion,
+                distortion, loss, loss_scale,
             )
-            new_cost = jax.lax.psum(0.5 * jnp.sum(r_new * r_new), BLOCK_AXIS)
+            new_cost = jax.lax.psum(0.5 * jnp.sum(rho_new), BLOCK_AXIS)
             jd = (
                 jnp.einsum("brc,c->br", jc, d_cam)
                 + jnp.einsum("brp,bp->br", jp, d_cap[ci])
@@ -284,6 +286,7 @@ def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag):
     make_group, make_lin, make_quality, make_solve = make_tag_sharded_hooks(
         mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
         config.enable_distortion, obs_per_tag,
+        loss=config.loss, loss_scale=config.loss_scale,
     )
 
     @jax.jit
@@ -374,6 +377,7 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag):
             make_tag_sharded_hooks(
                 mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
                 config.enable_distortion, obs_per_tag,
+                loss=config.loss, loss_scale=config.loss_scale,
             )
         )
         grouped = make_group(cap_idx, tag_idx, corners, block_mask)

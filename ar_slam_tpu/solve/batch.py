@@ -200,6 +200,8 @@ def _lm_config(cfg, camera_cfg=None) -> LMConfig:
         linear_solver=getattr(cfg, "linear_solver", "dense"),
         cg_tolerance=getattr(cfg, "cg_tolerance", 1e-2),
         cg_max_iterations=getattr(cfg, "cg_max_iterations", 100),
+        loss=getattr(cfg, "loss", "trivial"),
+        loss_scale=getattr(cfg, "loss_scale", 4.0),
     )
 
 

@@ -29,7 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ar_slam_tpu.solve.residuals import linearize, residuals_only
+from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
+                                         residuals_only)
 from ar_slam_tpu.solve.schur import (
     assemble,
     assemble_grouped,
@@ -62,6 +63,11 @@ class LMConfig(NamedTuple):
     linear_solver: str = "dense"
     cg_tolerance: float = 1e-2
     cg_max_iterations: int = 100
+    # robust loss: "trivial" ≙ the reference's nullptr loss
+    # (ar_slam_util.cpp:832-836); "huber" IRLS-reweights blocks with
+    # per-block cost rho (loss_scale = Huber delta in pixels)
+    loss: str = "trivial"
+    loss_scale: float = 4.0
 
 
 class LMState(NamedTuple):
@@ -76,25 +82,26 @@ class LMState(NamedTuple):
 
 
 def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
-                     n_caps, n_tags, distortion=False):
+                     n_caps, n_tags, distortion=False, loss="trivial",
+                     loss_scale=1.0):
     """Single-device block-parallel hooks over a padded block table."""
 
     def lin_fn(camera, cap_poses, tag_poses):
-        r, jc, jp, jt = linearize(
+        r, jc, jp, jt, rho = linearize(
             camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            block_mask, aruco_size, distortion,
+            block_mask, aruco_size, distortion, loss, loss_scale,
         )
         eqs = assemble(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
-        cost = 0.5 * jnp.sum(r * r)
+        cost = 0.5 * jnp.sum(rho)
         return eqs, cost, (r, jc, jp, jt)
 
     def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
         r, jc, jp, jt = aux
-        r_new = residuals_only(
+        r_new, rho_new = residuals_and_rho(
             new_camera, new_caps, new_tags, cap_idx, tag_idx, corners,
-            block_mask, aruco_size, distortion,
+            block_mask, aruco_size, distortion, loss, loss_scale,
         )
-        new_cost = 0.5 * jnp.sum(r_new * r_new)
+        new_cost = 0.5 * jnp.sum(rho_new)
         jd = (
             jnp.einsum("brc,c->br", jc, d_cam)
             + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx])
@@ -107,7 +114,8 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 
 def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
-                       n_caps, n_tags, s_max, distortion=False):
+                       n_caps, n_tags, s_max, distortion=False,
+                       loss="trivial", loss_scale=1.0):
     """Block-parallel hooks over a TAG-GROUPED (T*S) block table.
 
     The flat table regroups ONCE (one sort + small scatters, outside the LM
@@ -125,22 +133,22 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
     corners_g = corners[gather]
 
     def lin_fn(camera, cap_poses, tag_poses):
-        r, jc, jp, jt = linearize(
+        r, jc, jp, jt, rho = linearize(
             camera, cap_poses, tag_poses, cap_idx_g, tag_idx_g, corners_g,
-            mask_g, aruco_size, distortion,
+            mask_g, aruco_size, distortion, loss, loss_scale,
         )
         eqs = assemble_grouped(r, jc, jp, jt, cap_idx_g, n_caps, n_tags,
                                s_max)
-        cost = 0.5 * jnp.sum(r * r)
+        cost = 0.5 * jnp.sum(rho)
         return eqs, cost, (r, jc, jp, jt)
 
     def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
         r, jc, jp, jt = aux
-        r_new = residuals_only(
+        r_new, rho_new = residuals_and_rho(
             new_camera, new_caps, new_tags, cap_idx_g, tag_idx_g, corners_g,
-            mask_g, aruco_size, distortion,
+            mask_g, aruco_size, distortion, loss, loss_scale,
         )
-        new_cost = 0.5 * jnp.sum(r_new * r_new)
+        new_cost = 0.5 * jnp.sum(rho_new)
         jd = (
             jnp.einsum("brc,c->br", jc, d_cam)
             + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx_g])
@@ -328,6 +336,7 @@ def lm_solve(
         lin_fn, quality_fn = make_grouped_hooks(
             cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps,
             n_tags, obs_per_tag, distortion=config.enable_distortion,
+            loss=config.loss, loss_scale=config.loss_scale,
         )
 
         solver_state0 = None
@@ -356,7 +365,8 @@ def lm_solve(
                        iter_budget=iter_budget, solver_state0=solver_state0)
     lin_fn, quality_fn = make_block_hooks(
         cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps, n_tags,
-        distortion=config.enable_distortion,
+        distortion=config.enable_distortion, loss=config.loss,
+        loss_scale=config.loss_scale,
     )
     if assemble_fn is not None:
         base_lin = lin_fn

@@ -275,10 +275,10 @@ def test_grouped_assembly_matches_flat():
     nC, nT = arrs.cap_poses.shape[0], arrs.tag_poses.shape[0]
     args = (jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
             jnp.asarray(tag_poses))
-    r, jc, jp, jt = linearize(*args, jnp.asarray(arrs.cap_idx),
-                              jnp.asarray(arrs.tag_idx),
-                              jnp.asarray(arrs.corners),
-                              jnp.asarray(arrs.block_mask), ARUCO_SIZE)
+    r, jc, jp, jt, _ = linearize(*args, jnp.asarray(arrs.cap_idx),
+                                 jnp.asarray(arrs.tag_idx),
+                                 jnp.asarray(arrs.corners),
+                                 jnp.asarray(arrs.block_mask), ARUCO_SIZE)
     flat = assemble(r, jc, jp, jt, jnp.asarray(arrs.cap_idx),
                     jnp.asarray(arrs.tag_idx), nC, nT)
 
@@ -289,8 +289,8 @@ def test_grouped_assembly_matches_flat():
     cap_idx_g = jnp.asarray(arrs.cap_idx)[gather]
     tag_idx_g = jnp.repeat(jnp.arange(nT, dtype=jnp.int32), s_max)
     corners_g = jnp.asarray(arrs.corners)[gather]
-    rg, jcg, jpg, jtg = linearize(*args, cap_idx_g, tag_idx_g, corners_g,
-                                  mask_g, ARUCO_SIZE)
+    rg, jcg, jpg, jtg, _ = linearize(*args, cap_idx_g, tag_idx_g,
+                                     corners_g, mask_g, ARUCO_SIZE)
     grouped = assemble_grouped(rg, jcg, jpg, jtg, cap_idx_g, nC, nT, s_max)
 
     np.testing.assert_allclose(grouped.hcc, flat.hcc, rtol=1e-9)
@@ -358,9 +358,9 @@ def test_grouped_assembly_exact_under_bf16_default():
             jnp.asarray(cap_poses, jnp.float32),
             jnp.asarray(tag_poses, jnp.float32))
     corners = jnp.asarray(arrs.corners, jnp.float32)
-    r, jc, jp, jt = linearize(*args, jnp.asarray(arrs.cap_idx),
-                              jnp.asarray(arrs.tag_idx), corners,
-                              jnp.asarray(arrs.block_mask), ARUCO_SIZE)
+    r, jc, jp, jt, _ = linearize(*args, jnp.asarray(arrs.cap_idx),
+                                 jnp.asarray(arrs.tag_idx), corners,
+                                 jnp.asarray(arrs.block_mask), ARUCO_SIZE)
     flat = assemble(r, jc, jp, jt, jnp.asarray(arrs.cap_idx),
                     jnp.asarray(arrs.tag_idx), nC, nT)
 
@@ -410,3 +410,42 @@ def test_lm_iterative_schur_matches_dense():
     assert rmse_d < 1e-5 and rmse_i < 1e-5, (rmse_d, rmse_i)
     np.testing.assert_allclose(np.asarray(cam_i), np.asarray(cam_d),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_huber_loss_resists_outlier():
+    """Corrupt one observation badly: the trivial loss (reference parity)
+    drags the solution; huber downweights it and recovers the truth."""
+    arrs, cap_poses, tag_poses = _perturbed_problem(scale=0.005)
+    # corrupt one active block's corners by ~40 px
+    b = int(np.nonzero(arrs.block_mask)[0][3])
+    corners = arrs.corners.copy()
+    corners[b] += 40.0
+
+    def run(loss):
+        cam, caps, tags, info = lm_solve(
+            jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+            jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
+            jnp.asarray(arrs.tag_idx), jnp.asarray(corners),
+            jnp.asarray(arrs.block_mask), jnp.asarray(True),
+            jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+            aruco_size=ARUCO_SIZE,
+            config=LMConfig(max_iterations=100, loss=loss, loss_scale=4.0))
+        # evaluate TRUE (unweighted) rmse on the clean blocks only
+        from ar_slam_tpu.solve.residuals import residuals_only
+        mask = arrs.block_mask.copy()
+        mask[b] = False
+        r = residuals_only(cam, caps, tags, jnp.asarray(arrs.cap_idx),
+                           jnp.asarray(arrs.tag_idx),
+                           jnp.asarray(arrs.corners),  # CLEAN corners
+                           jnp.asarray(mask), ARUCO_SIZE)
+        n = int(mask.sum())
+        return float(np.sqrt(np.sum(np.asarray(r) ** 2) / (8 * n)))
+
+    rmse_trivial = run("trivial")
+    rmse_huber = run("huber")
+    # huber bounds the outlier's influence (L1 tail) — it does not zero it,
+    # so expect a small residual bias, well below the trivial-loss drag
+    # (measured 0.35 vs 2.5 px on TPU f32; 0.53 vs 1.6 on CPU f64)
+    assert rmse_huber < 0.6, rmse_huber
+    assert rmse_trivial > 1.0, rmse_trivial
+    assert rmse_huber < 0.5 * rmse_trivial, (rmse_huber, rmse_trivial)
