@@ -304,6 +304,12 @@ def _config(args):
     import dataclasses
 
     cfg = ArSlamConfig()
+    cfg_fn = getattr(args, "config", "")
+    if cfg_fn:
+        import yaml
+
+        with open(cfg_fn) as f:
+            cfg = ArSlamConfig.from_dict(yaml.safe_load(f) or {})
     if getattr(args, "parity", False):
         cfg = dataclasses.replace(
             cfg,
@@ -401,6 +407,9 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
+        sp.add_argument("--config", default="",
+                        help="YAML/JSON file with the full ArSlamConfig "
+                             "tree (CLI flags override it)")
         sp.add_argument("--metrics", action="store_true",
                         help="print the per-stage metrics summary (counts "
                              "and timings) as JSON on stderr at exit")

@@ -368,3 +368,32 @@ def test_make_map_response_builds_yaml(tmp_path):
     # failure path: unreadable input reports, does not raise
     resp = _make_map_response(args, [str(tmp_path / "nope.jpg")])
     assert not resp["success"] and "make_map failed" in resp["message"]
+
+
+def test_cli_config_file(tmp_path, capsys):
+    """--config loads the full ArSlamConfig tree; CLI flags override it."""
+    import argparse
+
+    import yaml as _yaml
+
+    from ar_slam_tpu.cli import _config
+    from ar_slam_tpu.config import ArSlamConfig
+
+    fn = tmp_path / "cfg.yaml"
+    fn.write_text(_yaml.safe_dump({
+        "aruco_size": 0.1,
+        "solver": {"max_iterations": 7, "loss": "huber"},
+        "detect": {"dictionaries": ["6X6_250"]},
+    }))
+    args = argparse.Namespace(config=str(fn))
+    cfg = _config(args)
+    assert cfg.aruco_size == 0.1
+    assert cfg.solver.max_iterations == 7 and cfg.solver.loss == "huber"
+    assert cfg.detect.dictionaries == ("6X6_250",)
+    # untouched fields keep defaults
+    assert cfg.solver.linear_solver == "dense"
+    # flag overrides the file
+    args = argparse.Namespace(config=str(fn), iterative_schur=True)
+    assert _config(args).solver.linear_solver == "cg"
+    # round trip through to_dict
+    assert ArSlamConfig.from_dict(cfg.to_dict()) == cfg
