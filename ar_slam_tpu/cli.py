@@ -245,6 +245,7 @@ def cmd_replay(args) -> int:
     engine.save_map(args.output)
     print(f"replayed -> rmse {summary.get('rmse', float('nan')):.4f} px "
           f"-> {args.output}")
+    _maybe_print_metrics(args, engine)
     return 0
 
 
@@ -316,10 +317,11 @@ def _config(args):
             solver=dataclasses.replace(cfg.solver, seed_mode="frontal"),
             camera=dataclasses.replace(cfg.camera, focal_init_mode="fixed"),
         )
-    n_dev = getattr(args, "devices", 0)
-    if n_dev and n_dev > 1:
+    n_dev = getattr(args, "devices", None)
+    if n_dev is not None:
         cfg = dataclasses.replace(
-            cfg, dist=dataclasses.replace(cfg.dist, num_devices=n_dev)
+            cfg, dist=dataclasses.replace(
+                cfg.dist, num_devices=n_dev if n_dev > 1 else 0)
         )
     if getattr(args, "distortion", False):
         cfg = dataclasses.replace(
@@ -329,24 +331,25 @@ def _config(args):
     loss = getattr(args, "robust_loss", "")
     if loss:
         cfg = dataclasses.replace(
-            cfg,
-            solver=dataclasses.replace(
-                cfg.solver, loss=loss,
-                loss_scale=getattr(args, "loss_scale", 4.0)),
-        )
+            cfg, solver=dataclasses.replace(cfg.solver, loss=loss))
+    loss_scale = getattr(args, "loss_scale", None)
+    if loss_scale is not None:
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver,
+                                            loss_scale=loss_scale))
     if getattr(args, "iterative_schur", False):
         cfg = dataclasses.replace(
             cfg,
             solver=dataclasses.replace(cfg.solver, linear_solver="cg"),
         )
-    every = getattr(args, "optimize_every", 0)
-    if every and every > 1:
+    every = getattr(args, "optimize_every", None)
+    if every is not None and every >= 1:
         cfg = dataclasses.replace(
             cfg,
             solver=dataclasses.replace(cfg.solver, optimize_every=every),
         )
-    max_side = getattr(args, "max_side", 0)
-    if max_side:
+    max_side = getattr(args, "max_side", None)
+    if max_side is not None:
         cfg = dataclasses.replace(
             cfg,
             detect=dataclasses.replace(cfg.detect, max_side=max_side),
@@ -419,7 +422,7 @@ def main(argv=None) -> int:
         sp.add_argument("--parity", action="store_true",
                         help="reference-parity mode: fixed focal init 3000 "
                              "+ frontal-only seeding")
-        sp.add_argument("--devices", type=int, default=0,
+        sp.add_argument("--devices", type=int, default=None,
                         help="shard the solve over N devices (distributed "
                              "BA over a 'blocks' mesh); 0/1 = single device")
         sp.add_argument("--profile", default="",
@@ -434,21 +437,21 @@ def main(argv=None) -> int:
                              "(default 4X4_50,5X5_100; also 6X6_250 — the "
                              "three the reference's aruco_dict param "
                              "accepts)")
-        sp.add_argument("--max-side", type=int, default=0,
+        sp.add_argument("--max-side", type=int, default=None,
                         help="detection working resolution: downscale "
                              "larger images before the detector, corners "
                              "reported at full resolution (0 = off)")
         sp.add_argument("--robust-loss", default="",
                         help="robust loss: 'huber' downweights outlier "
                              "observations (the reference uses none)")
-        sp.add_argument("--loss-scale", type=float, default=4.0,
+        sp.add_argument("--loss-scale", type=float, default=None,
                         help="Huber delta in pixels of block residual norm")
         sp.add_argument("--iterative-schur", action="store_true",
                         help="solve the reduced camera system with "
                              "implicit-Schur preconditioned CG instead of "
                              "dense Cholesky (faster at large capture "
                              "counts; ≙ ceres ITERATIVE_SCHUR)")
-        sp.add_argument("--optimize-every", type=int, default=0,
+        sp.add_argument("--optimize-every", type=int, default=None,
                         help="run the full optimization only every Nth "
                              "capture wave (always the last) instead of "
                              "the reference's per-capture re-solve; large "

@@ -138,16 +138,21 @@ class ArSlamConfig:
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "ArSlamConfig":
-        def build(cls, data):
+        def build(cls, data, path=""):
+            names = {f.name for f in dataclasses.fields(cls)}
+            unknown = set(data) - names
+            if unknown:
+                raise ValueError(
+                    f"unknown config key(s) {sorted(unknown)} under "
+                    f"'{path or cls.__name__}'; valid: {sorted(names)}")
             kw = {}
             for f in dataclasses.fields(cls):
                 if f.name not in data:
                     continue
                 v = data[f.name]
-                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-                    v = build(f.type, v)
-                elif f.name in ("camera", "solver", "detect", "pipeline", "dist"):
-                    v = build(_SUB[f.name], v)
+                if f.name in ("camera", "solver", "detect", "pipeline",
+                              "dist"):
+                    v = build(_SUB[f.name], v, f.name)
                 elif isinstance(v, list):
                     v = tuple(v)
                 kw[f.name] = v

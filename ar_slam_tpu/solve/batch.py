@@ -250,6 +250,11 @@ class _WaveRunner:
                 TagShardedProblem, make_dist_wave_solver,
             )
 
+            if self.config.linear_solver == "cg":
+                logger.warning(
+                    "linear_solver='cg' is single-device only; the "
+                    "distributed solver uses the dense reduced solve")
+
             prob = TagShardedProblem(
                 mesh, arrs.cap_idx, arrs.tag_idx, arrs.corners,
                 arrs.block_mask, self.t_pad,
@@ -392,6 +397,32 @@ class _WaveRunner:
         self.last_info = info
         return info
 
+    def true_sq_cost(self) -> float:
+        """0.5 * sum of RAW squared residuals on the current device state —
+        the robust (huber) solve cost is not a sum of squares, so reported
+        pixel RMSE must come from this instead."""
+        from ar_slam_tpu.solve.residuals import total_cost
+
+        if self._dist_wave is not None:
+            # pull state host-side; one eval per solve, size is small
+            import numpy as _np
+
+            tag_poses = self._prob.tags_to_old(
+                _np.asarray(self.tag_poses), self.t_pad)
+            arrs = self.arrs
+            return float(total_cost(
+                jnp.asarray(_np.asarray(self.camera)),
+                jnp.asarray(_np.asarray(self.cap_poses)),
+                jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
+                jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
+                jnp.asarray(self.active_blocks.copy()), self.aruco_size,
+                self.config.enable_distortion))
+        return float(total_cost(
+            self.camera, self.cap_poses, self.tag_poses, self.cap_idx,
+            self.tag_idx, self.corners,
+            jnp.asarray(self.active_blocks.copy()), self.aruco_size,
+            self.config.enable_distortion))
+
     def finish(self):
         if self._dist_wave is None:
             # leftover seed-only waves (optimize_every tail without a final
@@ -464,10 +495,12 @@ def solve(store: MapStore, config=None, dtype=None, assemble_fn=None,
     runner.finish()
 
     info = runner.last_info
+    sq = (float(info["cost"]) if config.solver.loss == "trivial"
+          else runner.true_sq_cost())
     return {
         "waves": len(order),
         "cost": float(info["cost"]),
-        "rmse": rmse_from_cost(float(info["cost"]), int(np.sum(runner.active_blocks))),
+        "rmse": rmse_from_cost(sq, int(np.sum(runner.active_blocks))),
     }
 
 
@@ -533,9 +566,9 @@ def solve_incremental(store: MapStore, config=None, dtype=None,
     out = {"waves": waves, "unsolved": len(store.unsolved_captures)}
     if runner.last_info is not None:
         out["cost"] = float(runner.last_info["cost"])
-        out["rmse"] = rmse_from_cost(
-            out["cost"], int(np.sum(runner.active_blocks))
-        )
+        sq = (out["cost"] if config.solver.loss == "trivial"
+              else runner.true_sq_cost())
+        out["rmse"] = rmse_from_cost(sq, int(np.sum(runner.active_blocks)))
     return out
 
 

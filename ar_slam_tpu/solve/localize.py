@@ -113,7 +113,10 @@ def localize_kernel(
             jnp.asarray(2.0, camera.dtype),
             cost_of(pose0),
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
+            # padded queries (all-false mask) start converged — their zero
+            # residuals can never trigger accept, so they would otherwise
+            # pin the batched while_loop at max_iterations
+            ~jnp.any(mask),
         )
         pose, _, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
         return pose, cost

@@ -397,3 +397,12 @@ def test_cli_config_file(tmp_path, capsys):
     assert _config(args).solver.linear_solver == "cg"
     # round trip through to_dict
     assert ArSlamConfig.from_dict(cfg.to_dict()) == cfg
+
+
+def test_config_file_unknown_key_raises(tmp_path):
+    import pytest as _pytest
+
+    from ar_slam_tpu.config import ArSlamConfig
+
+    with _pytest.raises(ValueError, match="max_iteration"):
+        ArSlamConfig.from_dict({"solver": {"max_iteration": 5}})
