@@ -425,6 +425,17 @@ def main(argv=None) -> int:
         sp.add_argument("--devices", type=int, default=None,
                         help="shard the solve over N devices (distributed "
                              "BA over a 'blocks' mesh); 0/1 = single device")
+        sp.add_argument("--multihost", default="",
+                        help="join a multi-controller runtime before "
+                             "solving: 'coordinator:port,num_processes,"
+                             "process_id' (explicit) or 'auto' (TPU pod / "
+                             "SLURM autodetect); the mesh then spans every "
+                             "process's devices and --devices defaults to "
+                             "the global device count (≙ the reference's "
+                             "DDS data plane, SURVEY §2.3/§5.8)")
+        sp.add_argument("--platform", default="",
+                        help="force a jax platform (e.g. 'cpu' for "
+                             "multi-host simulation on one machine)")
         sp.add_argument("--profile", default="",
                         help="write a jax profiler trace (xprof/tensorboard"
                              ") of the solve to this directory")
@@ -536,7 +547,45 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_scene)
 
     args = p.parse_args(argv)
+    _maybe_multihost(args)
     return args.fn(args)
+
+
+def _maybe_multihost(args) -> None:
+    """--platform / --multihost: join the multi-controller runtime.
+
+    Every process runs the identical command; the host-side graph
+    bookkeeping is a pure function of the inputs so all controllers issue
+    the same device programs (parallel/multihost.py).  Secondary
+    controllers write their artifacts to a scratch directory and mute
+    stdout — only process 0 publishes results.
+    """
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    spec = getattr(args, "multihost", "")
+    if not spec:
+        return
+    import jax
+
+    from ar_slam_tpu.parallel import multihost
+
+    pid, nproc = multihost.initialize(spec)
+    if getattr(args, "devices", None) is None:
+        args.devices = jax.device_count()
+    logging.getLogger("arslam").info(
+        "multihost: process %d/%d, %d global devices",
+        pid, nproc, jax.device_count())
+    if pid != 0:
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="arslam-mh-")
+        for attr in ("output",):
+            if getattr(args, attr, None):
+                setattr(args, attr, os.path.join(
+                    scratch, os.path.basename(getattr(args, attr))))
+        sys.stdout = open(os.devnull, "w")
 
 
 if __name__ == "__main__":

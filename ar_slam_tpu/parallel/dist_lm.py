@@ -34,6 +34,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ar_slam_tpu.parallel.mesh import BLOCK_AXIS
+from ar_slam_tpu.parallel.multihost import fetch, put_global
 from ar_slam_tpu.parallel.partition import prepare_tag_shards
 from ar_slam_tpu.solve.lm import LMConfig, lm_core
 from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
@@ -244,7 +245,7 @@ class TagShardedProblem:
         self.base_mask = p["row_mask"]
 
     def put_blocks(self, arr):
-        return jax.device_put(arr, self._shard)
+        return put_global(arr, self._shard)
 
     def put_tags(self, arr):
         """Permute an old-tag-indexed array into shard order and place it.
@@ -254,16 +255,16 @@ class TagShardedProblem:
         invalid = ~self.prep["tag_slot_valid"]
         if invalid.any():
             out[invalid] = 0
-        return jax.device_put(out, self._shard)
+        return put_global(out, self._shard)
 
     def put_tag_mask(self, mask_old):
         """Permute an activity mask, forcing padding tag slots inactive
         (they alias old tag 0's row and must not become parameters)."""
         m = np.asarray(mask_old)[self.prep["tag_perm"]]
-        return jax.device_put(m & self.prep["tag_slot_valid"], self._shard)
+        return put_global(m & self.prep["tag_slot_valid"], self._shard)
 
     def put_rep(self, *arrs):
-        return tuple(jax.device_put(np.asarray(a), self._rep) for a in arrs)
+        return tuple(put_global(np.asarray(a), self._rep) for a in arrs)
 
     def block_mask(self, active_old):
         """Map an old-row activity mask into the repacked layout."""
@@ -271,8 +272,10 @@ class TagShardedProblem:
         return self.put_blocks(m)
 
     def tags_to_old(self, arr_new, n_old):
-        """Inverse-permute a tag-indexed result back to old numbering."""
-        return np.asarray(arr_new)[self.prep["tag_inv"][:n_old]]
+        """Inverse-permute a tag-indexed result back to old numbering.
+        Works across processes: sharded device results all-gather via
+        multihost.fetch (host numpy inputs pass through)."""
+        return fetch(arr_new)[self.prep["tag_inv"][:n_old]]
 
     def row_of_block(self, old_row):
         return int(self.prep["row_of_block"][old_row])

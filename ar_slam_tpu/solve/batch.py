@@ -405,14 +405,14 @@ class _WaveRunner:
 
         if self._dist_wave is not None:
             # pull state host-side; one eval per solve, size is small
-            import numpy as _np
+            # (fetch all-gathers sharded tag state across processes)
+            from ar_slam_tpu.parallel.multihost import fetch
 
-            tag_poses = self._prob.tags_to_old(
-                _np.asarray(self.tag_poses), self.t_pad)
+            tag_poses = self._prob.tags_to_old(self.tag_poses, self.t_pad)
             arrs = self.arrs
             return float(total_cost(
-                jnp.asarray(_np.asarray(self.camera)),
-                jnp.asarray(_np.asarray(self.cap_poses)),
+                jnp.asarray(fetch(self.camera)),
+                jnp.asarray(fetch(self.cap_poses)),
                 jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
                 jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
                 jnp.asarray(self.active_blocks.copy()), self.aruco_size,
@@ -428,11 +428,14 @@ class _WaveRunner:
             # leftover seed-only waves (optimize_every tail without a final
             # optimizing wave)
             self._flush(lm_enabled=False)
-        tag_poses = np.asarray(self.tag_poses)
         if self._dist_wave is not None:
-            tag_poses = self._prob.tags_to_old(tag_poses, self.t_pad)
-        write_back(self.store, np.asarray(self.camera),
-                   np.asarray(self.cap_poses), tag_poses)
+            tag_poses = self._prob.tags_to_old(self.tag_poses, self.t_pad)
+        else:
+            tag_poses = np.asarray(self.tag_poses)
+        from ar_slam_tpu.parallel.multihost import fetch
+
+        write_back(self.store, fetch(self.camera),
+                   fetch(self.cap_poses), tag_poses)
         if self.last_info is not None:
             logger.info(
                 "solve done: cost=%s iters(last wave)=%s",
