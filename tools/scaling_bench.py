@@ -4,64 +4,44 @@ Measures LM iterations/s of the sharded solver at several mesh sizes on
 whatever devices exist (virtual CPU mesh in CI — structural validation;
 real chips on a pod slice — the ICI scaling-efficiency number).
 
-Usage: python tools/scaling_bench.py [--devices 1 2 4 8] [--tags 500]
+Usage:
+  python tools/scaling_bench.py [--devices 1 2 4 8] [--tags 500]
+  python tools/scaling_bench.py --cpu-mesh 8            # virtual mesh
+  python tools/scaling_bench.py --multihost 2           # REAL N-process
+      multi-controller run (1 CPU device per process, gloo collectives);
+      reports iter/s plus the overhead vs the same-size single-process
+      mesh — the multi-controller data plane cost, ≙ "N>=2 hosts" in
+      BASELINE.md (on one machine the collectives cross process, not
+      ICI/DCN, so treat it as overhead validation, not ICI efficiency).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--devices", type=int, nargs="+", default=None)
-    ap.add_argument("--tags", type=int, default=500)
-    ap.add_argument("--caps", type=int, default=200)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--cpu-mesh", type=int, default=0,
-                    help="force a virtual CPU mesh of this size")
-    args = ap.parse_args()
-
-    if args.cpu_mesh:
-        import os
-
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
-        ).strip()
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+def _measure(mesh_sizes, args, label_stream=sys.stderr):
+    """Shared measurement loop: iter/s of lm_solve_dist per mesh size."""
     import jax
     import numpy as np
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from bench import build_problem
     from ar_slam_tpu.parallel import block_mesh, lm_solve_dist
     from ar_slam_tpu.solve.lm import LMConfig
-
-    n_dev = len(jax.devices())
-    sizes = args.devices or sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
-    sizes = [s for s in sizes if s <= n_dev]
-    print(f"devices available: {n_dev}; testing mesh sizes {sizes}",
-          file=sys.stderr)
-    if args.cpu_mesh:
-        print(
-            "NOTE: virtual CPU mesh — all shards share one host's cores, so "
-            "iter/s CANNOT increase with mesh size; this validates "
-            "structure/overhead only.  ICI efficiency needs real chips.",
-            file=sys.stderr,
-        )
 
     arrs, cap_poses, tag_poses = build_problem(args.tags, args.caps)
     config = LMConfig(max_iterations=args.iters, function_tolerance=0.0,
                       parameter_tolerance=0.0)
 
     results = {}
-    for n in sizes:
+    for n in mesh_sizes:
         mesh = block_mesh(n)
 
         def run():
@@ -80,12 +60,127 @@ def main():
         wall = time.time() - t0
         ips = iters / wall
         results[n] = ips
-        eff = ips / (results[sizes[0]] * n / sizes[0]) if n != sizes[0] else 1.0
+        first = mesh_sizes[0]
+        eff = ips / (results[first] * n / first) if n != first else 1.0
         print(f"mesh={n}: {ips:.1f} iter/s  scaling_eff={eff:.2f}",
-              file=sys.stderr)
+              file=label_stream)
+    return results, int(arrs.n_blocks)
 
-    print(json.dumps({"mesh_iters_per_s": results,
-                      "blocks": int(arrs.n_blocks)}))
+
+def _multihost_child(args):
+    """One controller of the --multihost run (ARSLAM_SB_MH=port,pid,nproc).
+
+    Must initialize the multi-controller runtime before anything touches
+    the XLA backend (so before _measure's imports execute jnp constants).
+    """
+    port, pid, nproc = os.environ["ARSLAM_SB_MH"].split(",")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}",
+                               num_processes=int(nproc),
+                               process_id=int(pid))
+    n_dev = jax.device_count()
+    stream = sys.stderr if int(pid) == 0 else open(os.devnull, "w")
+    results, blocks = _measure([n_dev], args, label_stream=stream)
+    if int(pid) == 0:
+        print(json.dumps({"mesh_iters_per_s": results, "blocks": blocks,
+                          "processes": int(nproc)}))
+
+
+def _multihost_parent(args):
+    """Spawn N single-device controllers; also run the same-size
+    single-process mesh locally for the overhead comparison."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    n = args.multihost
+    env_base = dict(os.environ)
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = []
+    for pid in range(n):
+        env = dict(env_base)
+        env["ARSLAM_SB_MH"] = f"{port},{pid},{n}"
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--tags", str(args.tags), "--caps", str(args.caps),
+             "--iters", str(args.iters)],
+            stdout=subprocess.PIPE,
+            stderr=None if pid == 0 else subprocess.DEVNULL,
+            text=True, env=env,
+        ))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, p in enumerate(procs):
+        if p.returncode != 0:
+            print(f"controller {pid} failed", file=sys.stderr)
+            sys.exit(1)
+    mh = json.loads(outs[0].strip().splitlines()[-1])
+    mh_ips = list(mh["mesh_iters_per_s"].values())[0]
+
+    # same-size SINGLE-process virtual mesh for the overhead comparison
+    out1 = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--cpu-mesh", str(n), "--devices", str(n),
+         "--tags", str(args.tags), "--caps", str(args.caps),
+         "--iters", str(args.iters)],
+        capture_output=True, text=True, timeout=900, check=True,
+    )
+    sp = json.loads(out1.stdout.strip().splitlines()[-1])
+    sp_ips = list(sp["mesh_iters_per_s"].values())[0]
+    print(json.dumps({
+        "multihost_processes": n,
+        "multihost_iters_per_s": mh_ips,
+        "single_process_iters_per_s": sp_ips,
+        "multi_controller_overhead": 1.0 - mh_ips / sp_ips,
+        "blocks": mh["blocks"],
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--tags", type=int, default=500)
+    ap.add_argument("--caps", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu-mesh", type=int, default=0,
+                    help="force a virtual CPU mesh of this size")
+    ap.add_argument("--multihost", type=int, default=0,
+                    help="run N separate controller processes (1 CPU "
+                         "device each, gloo collectives) instead of a "
+                         "virtual mesh")
+    args = ap.parse_args()
+
+    if os.environ.get("ARSLAM_SB_MH"):
+        return _multihost_child(args)
+    if args.multihost:
+        return _multihost_parent(args)
+
+    if args.cpu_mesh:
+        import jax
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        ).strip()
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    n_dev = len(jax.devices())
+    sizes = args.devices or sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
+    sizes = [s for s in sizes if s <= n_dev]
+    print(f"devices available: {n_dev}; testing mesh sizes {sizes}",
+          file=sys.stderr)
+    if args.cpu_mesh:
+        print(
+            "NOTE: virtual CPU mesh — all shards share one host's cores, so "
+            "iter/s CANNOT increase with mesh size; this validates "
+            "structure/overhead only.  ICI efficiency needs real chips.",
+            file=sys.stderr,
+        )
+    results, blocks = _measure(sizes, args)
+    print(json.dumps({"mesh_iters_per_s": results, "blocks": blocks}))
 
 
 if __name__ == "__main__":
