@@ -19,7 +19,11 @@ iteration:
 - back-substitution of tag updates is again local; tag pose state stays
   sharded P("blocks") for the whole solve.
 
-Communication per iteration: psum(CapEqs) + psum(Nr^2 + Nr) + 3 scalars.
+Communication per iteration: exactly THREE all-reduces — linearize packs
+CapEqs + cost into one psum, elimination packs the reduced system
+(Nr^2 + Nr) into one, step quality packs its 3 scalars into one
+(``_psum_packed``; collective count dominates payload on latency-bound
+links, the payloads here are tiny and map-size-independent).
 Compare the naive observation-sharded design, which psums the full
 (6C, 6T) coupling (≈2x the bytes) and replicates the entire elimination.
 """
@@ -50,10 +54,21 @@ from ar_slam_tpu.solve.schur import (
 )
 
 
-def _psum_tree(tree):
-    return jax.tree_util.tree_map(
-        lambda x: jax.lax.psum(x, BLOCK_AXIS), tree
-    )
+def _psum_packed(arrs):
+    """ONE all-reduce for several same-dtype arrays (ravel+concat, psum,
+    split).  The per-iteration reductions are small (the reduced camera
+    system + a few scalars), so on latency-bound links (DCN, or gloo in
+    the multi-process CPU simulation) collective COUNT dominates payload;
+    packing turns up to 6 psums per stage into one."""
+    shapes = [jnp.shape(a) for a in arrs]
+    sizes = [int(np.prod(s)) for s in shapes]
+    flat = jnp.concatenate([jnp.ravel(a) for a in arrs])
+    flat = jax.lax.psum(flat, BLOCK_AXIS)
+    out, off = [], 0
+    for s, sz in zip(shapes, sizes):
+        out.append(flat[off:off + sz].reshape(s))
+        off += sz
+    return out
 
 
 def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
@@ -116,9 +131,10 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 distortion, loss, loss_scale,
             )
             g = assemble_grouped(r, jc, jp, jt, ci, n_caps, t_per, s_max)
-            cap_eqs = _psum_tree(CapEqs(g.hcc, g.hcp, g.hpp, g.g_c, g.g_p))
+            hcc, hcp, hpp, g_c, g_p, cost = _psum_packed(
+                [g.hcc, g.hcp, g.hpp, g.g_c, g.g_p, 0.5 * jnp.sum(rho)])
+            cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
             tag_side = (g.wt_raw, g.htt, g.g_t)
-            cost = jax.lax.psum(0.5 * jnp.sum(rho), BLOCK_AXIS)
             return (cap_eqs, tag_side), cost, (r, jc, jp, jt)
 
         def lin_fn(camera, cap_poses, tag_poses):
@@ -146,14 +162,14 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
                 distortion, loss, loss_scale,
             )
-            new_cost = jax.lax.psum(0.5 * jnp.sum(rho_new), BLOCK_AXIS)
             jd = (
                 jnp.einsum("brc,c->br", jc, d_cam)
                 + jnp.einsum("brp,bp->br", jp, d_cap[ci])
                 + jnp.einsum("brp,bp->br", jt, d_tag[til])
             )
-            g_dot_d = jax.lax.psum(jnp.sum(jd * r), BLOCK_AXIS)
-            jd_sq = jax.lax.psum(jnp.sum(jd * jd), BLOCK_AXIS)
+            new_cost, g_dot_d, jd_sq = _psum_packed(
+                [0.5 * jnp.sum(rho_new), jnp.sum(jd * r),
+                 jnp.sum(jd * jd)])
             return new_cost, g_dot_d, jd_sq
 
         def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
@@ -178,8 +194,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
             wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags_grouped(
                 wt_raw, htt, g_t, s_c, s_p, tag_a, lam, jacobi_scaling,
             )
-            wvw = jax.lax.psum(wvw, BLOCK_AXIS)
-            wvg = jax.lax.psum(wvg, BLOCK_AXIS)
+            wvw, wvg = _psum_packed([wvw, wvg])
             return wvw, wvg, (v_inv, wt, g_t_s, s_t)
 
         @partial(
