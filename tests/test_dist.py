@@ -189,6 +189,38 @@ def test_dist_runner_jit_cache_reuse(problem):
     assert _dist_lm_runner.cache_info().hits > before
 
 
+def test_collective_count_is_packed(problem):
+    """The per-stage reductions must stay packed into ONE all-reduce each
+    (dist_lm._psum_packed): on latency-bound links collective count
+    dominates the tiny payloads.  Guard the compiled-program op count so a
+    refactor can't silently reintroduce per-array psums (which would be
+    ~9 defs)."""
+    import re
+
+    from ar_slam_tpu.parallel.dist_lm import (TagShardedProblem,
+                                              _dist_lm_runner)
+
+    _, arrs, cap_poses, tag_poses = problem
+    mesh = block_mesh(4)
+    prob = TagShardedProblem(mesh, arrs.cap_idx, arrs.tag_idx, arrs.corners,
+                             arrs.block_mask, arrs.tag_poses.shape[0])
+    config = LMConfig(max_iterations=2)
+    run = _dist_lm_runner(mesh, prob.t_per, arrs.cap_poses.shape[0], 0.0635,
+                          config, prob.obs_per_tag)
+    lowered = run.lower(
+        arrs.camera, cap_poses, prob.put_tags(tag_poses),
+        prob.cap_idx, prob.tag_idx, prob.corners,
+        prob.block_mask(arrs.block_mask), np.asarray(True), arrs.cap_mask,
+        prob.put_tag_mask(arrs.tag_mask))
+    txt = lowered.compile().as_text()
+    defs = re.findall(r"= \S* all-reduce\(", txt)
+    # measured: 3 (linearize pack appears twice — initial eval + loop body
+    # share one XLA computation with the 2nd site deduplicated — plus the
+    # elimination/quality packs); allow slack for compiler-version drift
+    # but fail well before per-array psums (~9)
+    assert 1 <= len(defs) <= 5, f"{len(defs)} all-reduce defs: {defs}"
+
+
 def test_prepare_tag_shards_structure(problem):
     """Tag partition invariants: every tag lands in exactly one shard, every
     active block lands in its tag's shard slice, row maps invert."""
