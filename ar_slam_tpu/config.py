@@ -64,6 +64,13 @@ class SolverConfig:
     # "hybrid": frontal + homography seed candidates, keep the lower-residual
     # one (robust to tag tilt).  "frontal": reference-parity heuristic only.
     seed_mode: str = "hybrid"
+    # Localization parity: the reference's localizeOne adds residual blocks
+    # for tags ABSENT from the map too, holding their never-initialized
+    # zero poses constant (ar_slam_util.cpp:950-972) — which drags the
+    # pose-only solve toward garbage.  Off (default) = use only map-known
+    # tags (deliberate divergence, README); on (set by --parity) = exact
+    # reference behavior for A/B comparison.
+    localize_unknown_tags: bool = False
     # Run the full LM only every Nth BFS wave (always on the last).  The
     # reference re-optimizes after EVERY capture (ar_slam_util.cpp:845) —
     # that is the parity default 1; larger values trade per-wave pose
@@ -101,6 +108,11 @@ class PipelineConfig:
 
     pub_period: float = 0.5  # image_loader.cpp:92-102
     merge_queue_depth: int = 3  # merge_detections.cpp:125-126
+    # images per pipelined stage batch (serve splits submissions into
+    # batches of this size so decode of batch N+1 overlaps detect of N
+    # overlaps solve of N-1, ≙ the MT component container's stage overlap,
+    # ar_slam_launch.py:124-142)
+    batch_size: int = 8
     expected_detector_types: tuple[str, ...] = ("aruco_4X4_50", "aruco_5X5_100")
     include_image: bool = True
     output_map_fn: str = ""

@@ -7,25 +7,32 @@ is repacked so each device's slice holds exactly its tags' observations
 iteration:
 
 - residuals/Jacobians and the TAG-side normal-equation blocks (per-tag 6x6
-  V, the (6C, 6t) coupling slab, tag gradients) assemble **locally** — they
-  never cross the interconnect;
+  V, the capture-sparse (t, S, 6, 6) coupling blocks, tag gradients)
+  assemble **locally** — they never cross the interconnect;
 - the CAPTURE-side blocks psum once (~C*63 floats — tiny);
 - each device Schur-eliminates ITS tags (damped 6x6 inverses, Y = W V^-1,
   the per-tag (Nr, Nr) contributions) — the heavy elimination compute
   splits across the mesh instead of replicating — and ONE psum of the
   additive reduced system (Nr^2 floats) replicates S;
-- the reduced Cholesky (3 + 6C unknowns) runs replicated (it is the only
-  serial part — Amdahl headroom is set by its share of an iteration);
+- linear_solver='dense': the reduced Cholesky (3 + 6C unknowns) runs
+  replicated (the only serial part — Amdahl headroom is set by its share
+  of an iteration).  linear_solver='cg': no reduced system is ever formed —
+  the implicit-Schur CG runs against each shard's sparse coupling blocks
+  with ONE packed (Nr,) psum per matvec (≙ ITERATIVE_SCHUR on the mesh);
 - back-substitution of tag updates is again local; tag pose state stays
   sharded P("blocks") for the whole solve.
 
-Communication per iteration: exactly THREE all-reduces — linearize packs
-CapEqs + cost into one psum, elimination packs the reduced system
-(Nr^2 + Nr) into one, step quality packs its 3 scalars into one
-(``_psum_packed``; collective count dominates payload on latency-bound
-links, the payloads here are tiny and map-size-independent).
-Compare the naive observation-sharded design, which psums the full
-(6C, 6T) coupling (≈2x the bytes) and replicates the entire elimination.
+Communication per iteration: exactly TWO all-reduces — the solve packs its
+reduction into one psum (the dense path's reduced system, or one (Nr,)
+downdate per CG matvec), and the FUSED step-quality + speculative
+relinearization packs the 3 quality scalars together with the relinearized
+CapEqs into one (``make_quality_lin``; round 1 spent three — quality and
+the accept-path relinearize each psum-ed separately).  ``_psum_packed``
+keeps each stage at one collective: on latency-bound links (DCN, gloo in
+the multi-process CPU simulation) collective COUNT dominates payload, and
+the payloads here are tiny and map-size-independent.  Compare the naive
+observation-sharded design, which psums the full (6C, 6T) coupling (≈2x
+the bytes) and replicates the entire elimination.
 """
 
 from __future__ import annotations
@@ -45,12 +52,14 @@ from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
                                          residuals_only)
 from ar_slam_tpu.solve.schur import (
     CapEqs,
+    GroupedEqs,
     assemble_grouped,
-    backsub_tags,
+    backsub_tags_sparse,
     cap_scale_vectors,
     eliminate_tags_grouped,
     group_blocks_by_tag,
     reduced_solve,
+    schur_solve_grouped_cg,
 )
 
 
@@ -62,6 +71,10 @@ def _psum_packed(arrs):
     packing turns up to 6 psums per stage into one."""
     shapes = [jnp.shape(a) for a in arrs]
     sizes = [int(np.prod(s)) for s in shapes]
+    dtypes = {jnp.asarray(a).dtype for a in arrs}
+    assert len(dtypes) == 1, (
+        f"_psum_packed requires one dtype, got {sorted(map(str, dtypes))}: "
+        "concatenate would silently promote and change downstream dtypes")
     flat = jnp.concatenate([jnp.ravel(a) for a in arrs])
     flat = jax.lax.psum(flat, BLOCK_AXIS)
     out, off = [], 0
@@ -73,8 +86,10 @@ def _psum_packed(arrs):
 
 def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                            jacobi_scaling=True, distortion=False,
-                           obs_per_tag: int = 8, loss="trivial",
-                           loss_scale=1.0):
+                           obs_per_tag: int = 8, obs_per_cap: int = 8,
+                           loss="trivial", loss_scale=1.0,
+                           linear_solver: str = "dense",
+                           cg_tol: float = 1e-2, cg_iters: int = 100):
     """Build (group_fn, lin_fn, quality_fn, solve_fn factories) for lm_core
     with tags sharded over the mesh.
 
@@ -85,13 +100,22 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
 
     ``obs_per_tag`` is the static per-tag slot count for the scatter-free
     grouped assembly (global max observations per tag; shared by all
-    shards).  Each shard regroups ITS block slice once per solve via
-    ``make_group`` — sort and gathers stay shard-local.
+    shards); ``obs_per_cap`` bounds observations per capture (global max —
+    a shard's per-capture count can only be smaller) for the shard-local
+    capture-grouped reductions.  Each shard regroups ITS block slice once
+    per solve via ``make_group`` — sorts and gathers stay shard-local.
+
+    ``linear_solver='cg'`` replaces the replicated dense reduced Cholesky
+    with the tag-sharded implicit-Schur CG (≙ ITERATIVE_SCHUR): the
+    elimination state stays capture-sparse on each shard and every CG
+    matvec psums one packed (Nr,) downdate — per-step traffic independent
+    of tag count.
     """
     blockspec = P(BLOCK_AXIS)
     tagspec = P(BLOCK_AXIS)
     rep = P()
     s_max = obs_per_tag
+    sc_max = obs_per_cap
 
     def _local_tags(ti):
         return ti - jax.lax.axis_index(BLOCK_AXIS) * t_per
@@ -100,50 +124,57 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         jax.shard_map,
         mesh=mesh,
         in_specs=(blockspec, blockspec, blockspec, blockspec),
-        out_specs=(blockspec, blockspec, blockspec, blockspec),
+        out_specs=(blockspec, blockspec, blockspec, blockspec, blockspec,
+                   blockspec),
     )
     def make_group(ci, ti, crn, bm):
-        """Regroup this shard's blocks by local tag into (t_per * S) slots.
+        """Regroup this shard's blocks by local tag into (t_per * S) slots,
+        plus the shard-local capture-grouped permutation over those slots.
         Returns a grouped block table with GLOBAL new tag ids."""
         til = _local_tags(ti)
         gather, mask_g = group_blocks_by_tag(til, bm, t_per, s_max)
+        ci_g = ci[gather]
+        cap_gather, cap_gmask = group_blocks_by_tag(ci_g, mask_g, n_caps,
+                                                    sc_max)
         til_g = jnp.repeat(jnp.arange(t_per, dtype=jnp.int32), s_max,
                            total_repeat_length=t_per * s_max)
         ti_g = til_g + jax.lax.axis_index(BLOCK_AXIS).astype(jnp.int32) * t_per
-        return ci[gather], ti_g, crn[gather], mask_g
+        return ci_g, ti_g, crn[gather], mask_g, cap_gather, cap_gmask
 
-    def make_lin(cap_idx, tag_idx, corners, block_mask):
+    def make_lin(cap_idx, tag_idx, corners, block_mask, cap_gather,
+                 cap_gmask):
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(rep, rep, tagspec, blockspec, blockspec, blockspec,
-                      blockspec),
+                      blockspec, blockspec, blockspec),
             out_specs=(
-                (rep, (tagspec, tagspec, tagspec)),  # eqs
+                (rep, (tagspec, tagspec, tagspec, tagspec)),  # eqs
                 rep,  # cost
                 (blockspec, blockspec, blockspec, blockspec),  # aux
             ),
         )
-        def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm):
+        def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm, cg, cgm):
             til = _local_tags(ti)
             r, jc, jp, jt, rho = linearize(
                 camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
                 distortion, loss, loss_scale,
             )
-            g = assemble_grouped(r, jc, jp, jt, ci, n_caps, t_per, s_max)
+            g = assemble_grouped(r, jc, jp, jt, cg, cgm, n_caps, t_per,
+                                 s_max)
             hcc, hcp, hpp, g_c, g_p, cost = _psum_packed(
                 [g.hcc, g.hcp, g.hpp, g.g_c, g.g_p, 0.5 * jnp.sum(rho)])
             cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
-            tag_side = (g.wt_raw, g.htt, g.g_t)
+            tag_side = (g.hct, g.wt_s, g.htt, g.g_t)
             return (cap_eqs, tag_side), cost, (r, jc, jp, jt)
 
         def lin_fn(camera, cap_poses, tag_poses):
             return _lin(camera, cap_poses, tag_poses, cap_idx, tag_idx,
-                        corners, block_mask)
+                        corners, block_mask, cap_gather, cap_gmask)
 
         return lin_fn
 
-    def make_quality(cap_idx, tag_idx, corners, block_mask):
+    def make_quality(cap_idx, tag_idx, corners, block_mask, *_unused):
         @partial(
             jax.shard_map,
             mesh=mesh,
@@ -180,47 +211,145 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
 
         return quality_fn
 
-    def make_solve(cam_active, cap_active, tag_active):
+    def make_quality_lin(cap_idx, tag_idx, corners, block_mask, cap_gather,
+                         cap_gmask):
+        """Fused step-quality + SPECULATIVE relinearization at the proposed
+        parameters: the quality scalars ride the same packed psum as the
+        relinearized capture-side blocks, so an LM iteration costs TWO
+        all-reduces (solve + this) instead of three (solve + quality +
+        accept-path linearize).  On latency-bound links collective count
+        dominates; the extra Jacobian work on rejected steps is local."""
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=((tagspec, tagspec, tagspec),
-                      rep, rep, tagspec, rep),
-            out_specs=(rep, rep,
-                       (tagspec, tagspec, tagspec, tagspec)),
+            in_specs=(
+                (blockspec, blockspec, blockspec, blockspec),
+                rep, rep, tagspec, rep, rep, tagspec,
+                blockspec, blockspec, blockspec, blockspec, blockspec,
+                blockspec,
+            ),
+            out_specs=(rep, rep, rep,
+                       (rep, (tagspec, tagspec, tagspec, tagspec)),
+                       (blockspec, blockspec, blockspec, blockspec)),
         )
-        def _elim(tag_side, s_c, s_p, tag_a, lam):
-            wt_raw, htt, g_t = tag_side
-            wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags_grouped(
-                wt_raw, htt, g_t, s_c, s_p, tag_a, lam, jacobi_scaling,
+        def _qlin(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+                  d_tag, ci, ti, crn, bm, cg, cgm):
+            r, jc, jp, jt = aux
+            til = _local_tags(ti)
+            r2, jc2, jp2, jt2, rho2 = linearize(
+                new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
+                distortion, loss, loss_scale,
             )
-            wvw, wvg = _psum_packed([wvw, wvg])
-            return wvw, wvg, (v_inv, wt, g_t_s, s_t)
+            g = assemble_grouped(r2, jc2, jp2, jt2, cg, cgm, n_caps, t_per,
+                                 s_max)
+            jd = (
+                jnp.einsum("brc,c->br", jc, d_cam)
+                + jnp.einsum("brp,bp->br", jp, d_cap[ci])
+                + jnp.einsum("brp,bp->br", jt, d_tag[til])
+            )
+            (hcc, hcp, hpp, g_c, g_p, new_cost, g_dot_d, jd_sq) = (
+                _psum_packed([g.hcc, g.hcp, g.hpp, g.g_c, g.g_p,
+                              0.5 * jnp.sum(rho2), jnp.sum(jd * r),
+                              jnp.sum(jd * jd)]))
+            cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
+            tag_side = (g.hct, g.wt_s, g.htt, g.g_t)
+            return (new_cost, g_dot_d, jd_sq, (cap_eqs, tag_side),
+                    (r2, jc2, jp2, jt2))
+
+        def quality_lin_fn(aux, new_camera, new_caps, new_tags, d_cam,
+                           d_cap, d_tag):
+            return _qlin(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+                         d_tag, cap_idx, tag_idx, corners, block_mask,
+                         cap_gather, cap_gmask)
+
+        return quality_lin_fn
+
+    def make_solve(cam_active, cap_active, tag_active, grouped):
+        ci_g, _, _, _, cap_gather, cap_gmask = grouped
+
+        if linear_solver == "cg":
+            # The whole damped solve (implicit-Schur CG + back-substitution)
+            # runs inside ONE shard_map: shards keep their capture-sparse
+            # elimination state local and psum one packed (Nr,) vector per
+            # CG matvec (plus one packed [preconditioner, rhs] at setup) —
+            # the reference's ITERATIVE_SCHUR, lifted onto the mesh.
+            # check_vma=False: the replicated outputs are replicated by
+            # CONSTRUCTION (every shard psums the additive downdates, so all
+            # shards run CG on identical vectors), but the static
+            # varying-axes checker cannot see through the closed-over
+            # activity masks and the CG while_loop.
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=((rep, rep, rep, rep, rep),
+                          (tagspec, tagspec, tagspec, tagspec),
+                          blockspec, blockspec, blockspec,
+                          tagspec, rep, rep),
+                out_specs=(rep, rep, tagspec, rep),
+                check_vma=False,
+            )
+            def _cg_solve(cap_eqs, tag_side, ci, cg, cgm, tag_a, lam, x0):
+                hct, wt_s, htt, g_t = tag_side
+                eqs = GroupedEqs(cap_eqs[0], cap_eqs[1], cap_eqs[2],
+                                 hct, wt_s, htt, cap_eqs[3], cap_eqs[4],
+                                 g_t)
+                d_cam, d_cap, d_tag, delta_r = schur_solve_grouped_cg(
+                    eqs, ci, cg, cgm, lam, cam_active, cap_active, tag_a,
+                    jacobi_scaling=jacobi_scaling, cg_tol=cg_tol,
+                    cg_iters=cg_iters, x0=x0, reduce_fn=_psum_packed,
+                )
+                return d_cam, d_cap, d_tag, delta_r
+
+            def solve_fn(eqs, lam, x0):
+                cap_eqs, tag_side = eqs
+                return _cg_solve(tuple(cap_eqs), tag_side, ci_g, cap_gather,
+                                 cap_gmask, tag_active, lam, x0)
+
+            return solve_fn
 
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=((tagspec, tagspec, tagspec, tagspec), tagspec, rep),
+            in_specs=((tagspec, tagspec, tagspec, tagspec), blockspec,
+                      rep, rep, tagspec, rep),
+            out_specs=(rep, rep,
+                       (tagspec, tagspec, tagspec, tagspec, tagspec)),
+        )
+        def _elim(tag_side, ci, s_c, s_p, tag_a, lam):
+            hct, wt_s, htt, g_t = tag_side
+            wvw, wvg, ctx = eliminate_tags_grouped(
+                hct, wt_s, ci, htt, g_t, s_c, s_p, tag_a, lam,
+                jacobi_scaling,
+            )
+            wvw, wvg = _psum_packed([wvw, wvg])
+            return wvw, wvg, ctx
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=((tagspec, tagspec, tagspec, tagspec, tagspec),
+                      blockspec, tagspec, rep),
             out_specs=tagspec,
         )
-        def _backsub(ctx, tag_a, delta_r):
-            v_inv, wt, g_t_s, s_t = ctx
-            return backsub_tags(v_inv, wt, g_t_s, s_t, tag_a, delta_r)
+        def _backsub(ctx, ci, tag_a, delta_r):
+            v_inv, hct_s, wt_ss, g_t_s, s_t = ctx
+            return backsub_tags_sparse(v_inv, hct_s, wt_ss, ci, g_t_s, s_t,
+                                       tag_a, delta_r)
 
         def solve_fn(eqs, lam):
             cap_eqs, tag_side = eqs
             s_c, s_p = cap_scale_vectors(cap_eqs, cam_active, cap_active,
                                          jacobi_scaling)
-            wvw, wvg, ctx = _elim(tag_side, s_c, s_p, tag_active, lam)
+            wvw, wvg, ctx = _elim(tag_side, ci_g, s_c, s_p, tag_active, lam)
             delta_r, d_cam, d_cap = reduced_solve(
                 cap_eqs, s_c, s_p, cam_active, cap_active, lam, wvw, wvg,
             )
-            d_tag = _backsub(ctx, tag_active, delta_r)
+            d_tag = _backsub(ctx, ci_g, tag_active, delta_r)
             return d_cam, d_cap, d_tag
 
         return solve_fn
 
-    return make_group, make_lin, make_quality, make_solve
+    return make_group, make_lin, make_quality, make_quality_lin, make_solve
 
 
 class TagShardedProblem:
@@ -247,6 +376,9 @@ class TagShardedProblem:
 
         counts = np.bincount(tag_idx[block_mask], minlength=n_tags)
         self.obs_per_tag = obs_bucket(int(counts.max()) if counts.size
+                                      else 1)
+        ccounts = np.bincount(cap_idx[block_mask])
+        self.obs_per_cap = obs_bucket(int(ccounts.max()) if ccounts.size
                                       else 1)
         self.t_per = p["t_per"]
         self.t_new = p["t_new"]
@@ -297,14 +429,19 @@ class TagShardedProblem:
 
 
 @lru_cache(maxsize=32)
-def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag):
+def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag,
+                    obs_per_cap):
     """Memoized jitted distributed-LM program: repeated lm_solve_dist calls
     with the same mesh/shape/config hit the jit cache instead of
     re-tracing (axon remote compiles are 20-400 s)."""
-    make_group, make_lin, make_quality, make_solve = make_tag_sharded_hooks(
-        mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
-        config.enable_distortion, obs_per_tag,
-        loss=config.loss, loss_scale=config.loss_scale,
+    make_group, make_lin, make_quality, make_quality_lin, make_solve = (
+        make_tag_sharded_hooks(
+            mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
+            config.enable_distortion, obs_per_tag, obs_per_cap,
+            loss=config.loss, loss_scale=config.loss_scale,
+            linear_solver=config.linear_solver, cg_tol=config.cg_tolerance,
+            cg_iters=config.cg_max_iterations,
+        )
     )
 
     @jax.jit
@@ -314,10 +451,15 @@ def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag):
         grouped = make_group(cap_idx, tag_idx, corners, block_mask)
         lin_fn = make_lin(*grouped)
         quality_fn = make_quality(*grouped)
-        solve_fn = make_solve(cam_active, cap_active, tag_active)
+        quality_lin_fn = make_quality_lin(*grouped)
+        solve_fn = make_solve(cam_active, cap_active, tag_active, grouped)
+        solver_state0 = None
+        if config.linear_solver == "cg":
+            solver_state0 = jnp.zeros(3 + 6 * n_caps, cap_poses.dtype)
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,
-                       solve_fn=solve_fn)
+                       solve_fn=solve_fn, solver_state0=solver_state0,
+                       quality_lin_fn=quality_lin_fn)
 
     return run
 
@@ -353,7 +495,7 @@ def lm_solve_dist(
     )
 
     run = _dist_lm_runner(mesh, prob.t_per, n_caps, aruco_size, config,
-                          prob.obs_per_tag)
+                          prob.obs_per_tag, prob.obs_per_cap)
     cam, caps, tags, info = run(
         camera_r, cap_poses_r, tag_poses_s, prob.cap_idx, prob.tag_idx,
         prob.corners, bm, cam_a, cap_a, tag_active_s,
@@ -363,18 +505,20 @@ def lm_solve_dist(
 
 
 def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
-                          seed_mode: str = "hybrid", obs_per_tag: int = 8):
+                          seed_mode: str = "hybrid", obs_per_tag: int = 8,
+                          obs_per_cap: int = 8):
     """Jitted distributed wave solver (seeding prologue + LM) over the
     tag-sharded layout; all tag-indexed inputs/outputs use the RENUMBERED
     order (the runner owns the mapping).  Memoized so every _WaveRunner
     (one per solve/solve_incremental call) shares the jit cache — a serve
     loop must not re-trace per batch."""
     return _dist_wave_solver(mesh, aruco_size, config, seed_mode,
-                             obs_per_tag)
+                             obs_per_tag, obs_per_cap)
 
 
 @lru_cache(maxsize=32)
-def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag):
+def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
+                      obs_per_cap):
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
@@ -391,19 +535,28 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag):
             camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
         )
-        make_group, make_lin, make_quality, make_solve = (
+        make_group, make_lin, make_quality, make_quality_lin, make_solve = (
             make_tag_sharded_hooks(
                 mesh, t_per, n_caps, aruco_size, config.jacobi_scaling,
-                config.enable_distortion, obs_per_tag,
+                config.enable_distortion, obs_per_tag, obs_per_cap,
                 loss=config.loss, loss_scale=config.loss_scale,
+                linear_solver=config.linear_solver,
+                cg_tol=config.cg_tolerance,
+                cg_iters=config.cg_max_iterations,
             )
         )
         grouped = make_group(cap_idx, tag_idx, corners, block_mask)
         lin_fn = make_lin(*grouped)
         quality_fn = make_quality(*grouped)
-        solve_fn = make_solve(cam_active, cap_active, tag_active)
+        quality_lin_fn = make_quality_lin(*grouped)
+        solve_fn = make_solve(cam_active, cap_active, tag_active, grouped)
+        solver_state0 = None
+        if config.linear_solver == "cg":
+            solver_state0 = jnp.zeros(3 + 6 * n_caps, cap_poses.dtype)
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,
-                       enabled=lm_enabled, solve_fn=solve_fn)
+                       enabled=lm_enabled, solve_fn=solve_fn,
+                       solver_state0=solver_state0,
+                       quality_lin_fn=quality_lin_fn)
 
     return run

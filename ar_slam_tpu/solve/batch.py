@@ -126,7 +126,7 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
 
 @partial(jax.jit,
          static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode",
-                          "obs_per_tag"))
+                          "obs_per_tag", "obs_per_cap"))
 def solve_wave_multi(
     camera,
     cap_poses,
@@ -149,6 +149,7 @@ def solve_wave_multi(
     assemble_fn=None,
     seed_mode: str = "hybrid",
     obs_per_tag: int | None = None,
+    obs_per_cap: int | None = None,
 ):
     """A BATCH of solver waves in one device call: the whole accumulated
     seed sequence (lax.scan) followed by at most one LM solve.  With
@@ -164,6 +165,7 @@ def solve_wave_multi(
         cam_active, cap_active, tag_active,
         aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
         enabled=lm_enabled, obs_per_tag=obs_per_tag,
+        obs_per_cap=obs_per_cap,
     )
 
 
@@ -234,6 +236,8 @@ class _WaveRunner:
 
         max_obs = max((len(t.blocks) for t in store.arucos), default=1)
         self.obs_per_tag = obs_bucket(max_obs)
+        max_obs_cap = max((len(c.blocks) for c in store.captures), default=1)
+        self.obs_per_cap = obs_bucket(max_obs_cap)
         # block row lookup: store block index -> device row (identity for
         # the single-device path; partition permutation for the mesh path)
         self.row_of_block = np.arange(b_pad, dtype=np.int32)
@@ -249,11 +253,6 @@ class _WaveRunner:
             from ar_slam_tpu.parallel.dist_lm import (
                 TagShardedProblem, make_dist_wave_solver,
             )
-
-            if self.config.linear_solver == "cg":
-                logger.warning(
-                    "linear_solver='cg' is single-device only; the "
-                    "distributed solver uses the dense reduced solve")
 
             prob = TagShardedProblem(
                 mesh, arrs.cap_idx, arrs.tag_idx, arrs.corners,
@@ -273,6 +272,7 @@ class _WaveRunner:
             self._dist_wave = make_dist_wave_solver(
                 mesh, aruco_size=aruco_size, config=self.config,
                 seed_mode=self.seed_mode, obs_per_tag=prob.obs_per_tag,
+                obs_per_cap=prob.obs_per_cap,
             )
         # host-side solver state (store-index order)
         self.active_caps: set[int] = set()
@@ -392,6 +392,7 @@ class _WaveRunner:
                 assemble_fn=self.assemble_fn,
                 seed_mode=self.seed_mode,
                 obs_per_tag=self.obs_per_tag,
+                obs_per_cap=self.obs_per_cap,
             )
         )
         self.last_info = info

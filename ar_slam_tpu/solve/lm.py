@@ -114,19 +114,26 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 
 def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
-                       n_caps, n_tags, s_max, distortion=False,
+                       n_caps, n_tags, s_max, sc_max, distortion=False,
                        loss="trivial", loss_scale=1.0):
     """Block-parallel hooks over a TAG-GROUPED (T*S) block table.
 
     The flat table regroups ONCE (one sort + small scatters, outside the LM
-    loop); every relinearization then assembles scatter-free — one-hot MXU
-    matmuls for capture blocks, reshape-sums for tag blocks, and the
-    coupling slab built directly as wt (T, Nr, 6) instead of the dense
-    (6C, 6T) scatter (measured 13.5 -> ~3 ms per relinearization at 500
-    tags).  Padding cost: T*S vs B rows (25% on the 500-tag benchmark).
+    loop) — by tag for the primary layout AND by capture (``sc_max`` slots
+    per capture) for the capture-side reductions; every relinearization then
+    assembles scatter-free via reshape-sums on both sides, with the cap/tag
+    coupling kept capture-sparse as (T, S, 6, 6) blocks (round 1's dense
+    (T, 3+6C, 6) slab and (T*S, C) one-hot routing are gone — both were
+    memory walls at 10k tags / 4k captures).  Padding cost: T*S vs B rows
+    (25% on the 500-tag benchmark).
+
+    Returns (lin_fn, quality_fn, group_ctx) where group_ctx =
+    (cap_idx_g, cap_gather, cap_gmask) feeds the solve functions.
     """
     gather, mask_g = group_blocks_by_tag(tag_idx, block_mask, n_tags, s_max)
     cap_idx_g = cap_idx[gather]
+    cap_gather, cap_gmask = group_blocks_by_tag(cap_idx_g, mask_g, n_caps,
+                                                sc_max)
     tag_idx_g = jnp.repeat(
         jnp.arange(n_tags, dtype=jnp.int32), s_max, total_repeat_length=n_tags * s_max
     )
@@ -137,8 +144,8 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
             camera, cap_poses, tag_poses, cap_idx_g, tag_idx_g, corners_g,
             mask_g, aruco_size, distortion, loss, loss_scale,
         )
-        eqs = assemble_grouped(r, jc, jp, jt, cap_idx_g, n_caps, n_tags,
-                               s_max)
+        eqs = assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps,
+                               n_tags, s_max)
         cost = 0.5 * jnp.sum(rho)
         return eqs, cost, (r, jc, jp, jt)
 
@@ -157,12 +164,13 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
         g_dot_d = jnp.sum(jd * r)
         return new_cost, g_dot_d, jnp.sum(jd * jd)
 
-    return lin_fn, quality_fn
+    return lin_fn, quality_fn, (cap_idx_g, cap_gather, cap_gmask)
 
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             lin_fn, quality_fn, config: LMConfig, enabled=True,
-            solve_fn=None, iter_budget=None, solver_state0=None):
+            solve_fn=None, iter_budget=None, solver_state0=None,
+            quality_lin_fn=None):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
     The linearization (residuals + Jacobian blocks + assembled normal
@@ -185,6 +193,17 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     ``iter_budget`` (traced int, optional) caps iterations below
     config.max_iterations WITHOUT recompiling — one compiled program
     serves any budget (benchmarks time two budgets and subtract).
+
+    ``quality_lin_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+    d_tag) -> (new_cost, g_dot_d, jd_sq, eqs_new, aux_new)`` optionally
+    FUSES step-quality evaluation with a SPECULATIVE relinearization at the
+    proposed parameters, replacing quality_fn + the accept-path lin_fn.
+    The distributed hooks supply one whose reductions share a single packed
+    psum — cutting per-iteration collectives from 3 to 2 (latency-bound
+    multi-controller links care about collective COUNT, and the extra
+    Jacobian work on rejected steps is idle compute there).  On accept the
+    speculative (eqs, aux) are exactly what the next iteration needs; on
+    reject they are discarded by a where-select.
     """
     dtype = cap_poses.dtype
     stateful = solver_state0 is not None
@@ -218,9 +237,14 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         new_camera = state.camera + d_cam
         new_caps = state.cap_poses + d_cap
         new_tags = state.tag_poses + d_tag
-        new_cost, g_dot_d, jd_sq = quality_fn(
-            aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
-        )
+        if quality_lin_fn is not None:
+            new_cost, g_dot_d, jd_sq, eqs_prop, aux_prop = quality_lin_fn(
+                aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
+            )
+        else:
+            new_cost, g_dot_d, jd_sq = quality_fn(
+                aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
+            )
 
         model_decrease = jnp.maximum(-g_dot_d - 0.5 * jd_sq, 1e-30)
         rho = (state.cost - new_cost) / model_decrease
@@ -259,15 +283,25 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             converged=converged,
         )
 
-        # relinearize only on accepted (and not-yet-converged) steps
-        def do_lin(_):
-            eqs2, _, aux2 = lin_fn(new_camera, new_caps, new_tags)
-            return eqs2, aux2
+        if quality_lin_fn is not None:
+            # speculative relinearization already happened at the proposed
+            # params (fused with quality's psum) — select, don't recompute
+            def sel(a, b):
+                return jnp.where(accept, a, b)
 
-        def keep(_):
-            return eqs, aux
+            eqs_n = jax.tree_util.tree_map(sel, eqs_prop, eqs)
+            aux_n = jax.tree_util.tree_map(sel, aux_prop, aux)
+        else:
+            # relinearize only on accepted (and not-yet-converged) steps
+            def do_lin(_):
+                eqs2, _, aux2 = lin_fn(new_camera, new_caps, new_tags)
+                return eqs2, aux2
 
-        eqs_n, aux_n = jax.lax.cond(accept & ~converged, do_lin, keep, None)
+            def keep(_):
+                return eqs, aux
+
+            eqs_n, aux_n = jax.lax.cond(accept & ~converged, do_lin, keep,
+                                        None)
         if stateful:
             # warm start helps only the rejected-step re-solve (same
             # linearization, larger damping -> shrunk but aligned step);
@@ -299,7 +333,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
 
 
 @partial(jax.jit, static_argnames=("aruco_size", "config", "assemble_fn",
-                                   "obs_per_tag"))
+                                   "obs_per_tag", "obs_per_cap"))
 def lm_solve(
     camera,
     cap_poses,
@@ -318,13 +352,17 @@ def lm_solve(
     enabled=True,
     iter_budget=None,
     obs_per_tag: int | None = None,
+    obs_per_cap: int | None = None,
 ):
     """Run LM to convergence on the (masked, padded) problem.
 
     ``obs_per_tag``: static max observations per tag; when set, the solver
     runs the TAG-GROUPED scatter-free assembly (see make_grouped_hooks) —
     the fast path on TPU.  Callers must pass a true upper bound (excess
-    observations of a tag would be silently dropped).
+    observations of a tag would be silently dropped).  ``obs_per_cap`` is
+    the matching static max observations per CAPTURE for the
+    capture-grouped reductions (defaults to n_tags * obs_per_tag — always
+    safe but wasteful; pass the bucketed true bound).
 
     ``assemble_fn`` optionally overrides normal-equation assembly (the
     distributed solver passes a psum-reducing version; see
@@ -333,11 +371,15 @@ def lm_solve(
     n_caps = cap_poses.shape[0]
     n_tags = tag_poses.shape[0]
     if obs_per_tag is not None and assemble_fn is None:
-        lin_fn, quality_fn = make_grouped_hooks(
+        if obs_per_cap is None:
+            obs_per_cap = n_tags * obs_per_tag
+        lin_fn, quality_fn, group_ctx = make_grouped_hooks(
             cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps,
-            n_tags, obs_per_tag, distortion=config.enable_distortion,
+            n_tags, obs_per_tag, obs_per_cap,
+            distortion=config.enable_distortion,
             loss=config.loss, loss_scale=config.loss_scale,
         )
+        cap_idx_g, cap_gather, cap_gmask = group_ctx
 
         solver_state0 = None
         if config.linear_solver == "cg":
@@ -346,7 +388,8 @@ def lm_solve(
 
             def solve_fn(eqs, lam, x0):
                 return schur_solve_grouped_cg(
-                    eqs, lam, cam_active, cap_active, tag_active,
+                    eqs, cap_idx_g, cap_gather, cap_gmask, lam,
+                    cam_active, cap_active, tag_active,
                     jacobi_scaling=config.jacobi_scaling,
                     cg_tol=config.cg_tolerance,
                     cg_iters=config.cg_max_iterations,
@@ -355,7 +398,7 @@ def lm_solve(
         else:
             def solve_fn(eqs, lam):
                 return schur_solve_grouped(
-                    eqs, lam, cam_active, cap_active, tag_active,
+                    eqs, cap_idx_g, lam, cam_active, cap_active, tag_active,
                     jacobi_scaling=config.jacobi_scaling,
                 )
 

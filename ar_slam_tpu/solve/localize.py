@@ -53,7 +53,8 @@ def localize_kernel(
       q_seed_slot: (Q,) int — which of the K blocks seeds the pose.
 
     Returns:
-      (Q, 6) optimized inverse capture poses, (Q,) final costs.
+      ((Q, 6) optimized inverse capture poses, (Q,) final costs,
+       (Q,) int32 iteration counts).
     """
 
     def residual_fn(pose, tag_idx, corners, mask):
@@ -93,8 +94,20 @@ def localize_kernel(
                 config.min_lambda, config.max_lambda,
             )
             lam_rej = jnp.minimum(lam * nu, config.max_lambda)
+            # full convergence battery, same as the main driver
+            # (solve/lm.py lm_core): function tolerance OR parameter
+            # tolerance on accepted steps, stall-lambda exit on rejected
+            # ones — a query that keeps rejecting steps must not burn the
+            # whole iteration budget (and, vmapped, pin every OTHER query
+            # at the slowest one's count).
             f_conv = jnp.abs(cost - new_cost) <= config.function_tolerance * cost
-            conv = accept & f_conv
+            step_norm = jnp.sqrt(jnp.sum(step * step))
+            x_norm = jnp.sqrt(jnp.sum(pose * pose))
+            p_conv = step_norm <= config.parameter_tolerance * (
+                x_norm + config.parameter_tolerance
+            )
+            stalled = ~accept & (lam >= config.stall_lambda)
+            conv = (accept & (f_conv | p_conv)) | stalled
             return (
                 jnp.where(accept, new_pose, pose),
                 jnp.where(accept, lam_acc, lam_rej),
@@ -118,8 +131,8 @@ def localize_kernel(
             # pin the batched while_loop at max_iterations
             ~jnp.any(mask),
         )
-        pose, _, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
-        return pose, cost
+        pose, _, _, cost, it, _ = jax.lax.while_loop(cond, body, init)
+        return pose, cost, it
 
     return jax.vmap(solve_one)(q_tag_idx, q_corners, q_block_mask, q_seed_slot)
 
@@ -141,17 +154,21 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
         return any(store.blocks[tbh].cap_idx < first_loc_cap_idx
                    for tbh in tag.blocks)
 
+    # parity switch: the reference's localizeOne adds ALL of the query's
+    # blocks with tag poses constant — including tags absent from the map,
+    # whose never-initialized zero poses poison the pose-only solve
+    # (ar_slam_util.cpp:950-972).  Default (False) uses only map-known tags
+    # (deliberate divergence, README); --parity restores the reference
+    # behavior exactly for A/B runs.
+    include_unknown = bool(getattr(config.solver, "localize_unknown_tags",
+                                   False))
     queries = []
     status = {}
     for cap in store.captures[first_loc_cap_idx:]:
         # find a block whose tag is shared with a map capture
-        # (≙ ar_slam_util.cpp:911-927)
+        # (≙ ar_slam_util.cpp:911-927); the SEED block must be map-known
+        # either way (≙ the initCapturePose source block)
         seed_block = None
-        # NOTE deliberate divergence from the reference: localizeOne adds
-        # ALL of the query's blocks with tag poses constant — including
-        # tags absent from the map, whose never-initialized zero poses
-        # poison the pose-only solve (ar_slam_util.cpp:950-972).  We use
-        # only map-known tags.
         map_blocks = []
         for bh in cap.blocks:
             tag = store.arucos[store.blocks[bh].tag_idx]
@@ -159,6 +176,8 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
                 map_blocks.append(bh)
                 if seed_block is None:
                     seed_block = bh
+            elif include_unknown:
+                map_blocks.append(bh)
         if seed_block is None:
             logger.warning(
                 "Cannot find connected ar tags for capture %d", cap.index
@@ -194,7 +213,7 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
     for tag in store.arucos:
         tag_poses[tag.index] = tag.pose
 
-    poses, costs = localize_kernel(
+    poses, costs, iters = localize_kernel(
         jnp.asarray(store.camera.params, dtype=dtype),
         jnp.asarray(tag_poses),
         jnp.asarray(q_tag_idx),
@@ -207,6 +226,7 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
     )
     poses = np.asarray(poses)[:q]
     costs = np.asarray(costs)[:q]
+    iters = np.asarray(iters)[:q]
     for qi, (cap, _, _) in enumerate(queries):
         cap.inv_pose[:] = poses[qi]
     n_blocks = int(q_mask.sum())
@@ -215,4 +235,6 @@ def localize_many(store: MapStore, first_loc_cap_idx: int, config=None,
         "localized": len(queries),
         "cost": float(costs.sum()),
         "rmse": float(np.sqrt(2.0 * costs.sum() / (8 * n_blocks))),
+        "iterations": {cap.uid: int(iters[qi])
+                       for qi, (cap, _, _) in enumerate(queries)},
     }

@@ -92,16 +92,25 @@ def assemble_tag_side(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags):
 
 
 class GroupedEqs(NamedTuple):
-    """Normal-equation blocks in the tag-grouped layout: the cap/tag
-    coupling lives directly as the per-tag slab ``wt_raw`` (T, Nr, 6) —
-    never materialized as the dense (6C, 6T) scatter the flat layout needs.
+    """Normal-equation blocks in the CAPTURE-SPARSE tag-grouped layout.
+
+    The cap/tag coupling is stored as per-observation 6x6 blocks ``wt_s``
+    (T, S, 6, 6) — slot (t, s) couples tag t with capture
+    ``slot_cap[t*S+s]`` — NOT as the dense (T, 3+6C, 6) slab of round 1.
+    Each tag observes at most S captures, so the slab was almost entirely
+    structural zeros; the sparse layout is O(blocks) memory (~36 floats per
+    observation) and keeps a 10k-tag / 4k-capture problem in HBM where the
+    slab (~5.8 GB) could not fit.  ``slot_cap`` is carried by the caller
+    (it is static per solve), not in the tuple.
+
     Field names of the camera/capture blocks match NormalEqs so
     cap_scale_vectors / reduced_solve work on either."""
 
     hcc: jnp.ndarray  # (3, 3)
     hcp: jnp.ndarray  # (C, 3, 6)
     hpp: jnp.ndarray  # (C, 6, 6)
-    wt_raw: jnp.ndarray  # (T, 3 + 6C, 6) unscaled coupling slab
+    hct: jnp.ndarray  # (T, 3, 6) cam-tag coupling
+    wt_s: jnp.ndarray  # (T, S, 6, 6) capture-sparse cap-tag coupling
     htt: jnp.ndarray  # (T, 6, 6)
     g_c: jnp.ndarray  # (3,)
     g_p: jnp.ndarray  # (C, 6)
@@ -109,11 +118,15 @@ class GroupedEqs(NamedTuple):
 
 
 def group_blocks_by_tag(tag_idx, block_mask, n_tags: int, s_max: int):
-    """Device-side grouping of the flat block table into (T, S) slots.
+    """Device-side grouping of a block table into (N, S) key slots.
 
-    Returns (gather (T*S,) int32 source rows, mask (T*S,) bool).  Runs ONCE
+    Generic over the key: pass ``tag_idx`` to group by tag (the primary
+    layout) or a capture index to build the capture-grouped permutation the
+    sparse assembly uses for capture-side reductions.
+
+    Returns (gather (N*S,) int32 source rows, mask (N*S,) bool).  Runs ONCE
     per solve (outside the LM loop); blocks beyond ``s_max`` observations of
-    one tag are dropped — callers must size s_max to the true maximum.
+    one key are dropped — callers must size s_max to the true maximum.
 
     TPU note: this is the ONLY scatter in the grouped pipeline, amortized
     over all LM iterations (the flat pipeline re-paid a (6C, 6T) scatter
@@ -136,35 +149,41 @@ def group_blocks_by_tag(tag_idx, block_mask, n_tags: int, s_max: int):
     return gather, mask
 
 
-def assemble_grouped(r, jc, jp, jt, cap_idx, n_caps: int, n_tags: int,
-                     s_max: int) -> GroupedEqs:
+def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
+                     n_tags: int, s_max: int) -> GroupedEqs:
     """Assemble normal equations from a TAG-GROUPED block table — zero
-    segment ops in the hot path.
+    segment ops, zero scatters, zero one-hot expansions in the hot path.
 
     Inputs are (T*S, ...) with row t*S+s belonging to tag t (masked rows
-    zero).  Tag-side blocks reduce by plain reshape-sums; capture-side
-    blocks and the coupling slab reduce through a {0,1} capture one-hot on
-    the MXU (measured 10-70x faster than segment_sum/scatter on TPU for the
-    500-tag problem).
+    zero).  Tag-side blocks reduce by plain reshape-sums.  Capture-side
+    blocks reduce the same way through the CAPTURE-GROUPED permutation
+    ``cap_gather``/``cap_gmask`` (from ``group_blocks_by_tag`` keyed on the
+    grouped capture index): gather the per-block products into capture
+    order, then reshape-sum.  This replaces round 1's {0,1} one-hot matmuls,
+    which materialized a (T*S, C) routing matrix — itself a memory wall at
+    10k tags / 4k captures (~5 GB) — and needed HIGHEST-precision matmuls to
+    stay exact; gather + reshape-sum adds exactly, at O(blocks) memory.
+
+    The cap/tag coupling stays capture-sparse as per-slot blocks ``wt_s``
+    (T, S, 6, 6) — the dense (T, 3+6C, 6) slab is never built here (the
+    dense reduced solve expands a transient one; CG never does).
     """
     dtype = r.dtype
-    oc = (cap_idx[:, None] == jnp.arange(n_caps, dtype=jnp.int32)[None, :]
-          ).astype(dtype)  # (T*S, C); masked rows contribute 0 via j==0
+    sc = cap_gather.shape[0] // n_caps
+    mc = cap_gmask.astype(dtype)
 
-    # The one-hot contractions ROUTE already-accumulated f32 block values;
-    # TPU's default matmul precision would round them to bf16 (segment_sum
-    # added them exactly), which measurably degrades H and can diverge the
-    # incremental solver — force full precision on the routing matmuls.
-    hp = jax.lax.Precision.HIGHEST
+    def to_caps(per_block, trailing):
+        """Gather per-block values into capture order and reshape-sum.
+        Padding gather slots read row 0 of a REAL block, so they must be
+        masked before the sum."""
+        g = per_block[cap_gather] * mc.reshape((-1,) + (1,) * len(trailing))
+        return g.reshape((n_caps, sc) + trailing).sum(axis=1)
 
     hcc = jnp.einsum("bri,brj->ij", jc, jc)
     g_c = jnp.einsum("bri,br->i", jc, r)
-    prod_cp = jnp.einsum("bri,brj->bij", jc, jp)
-    hcp = jnp.einsum("bij,bc->cij", prod_cp, oc, precision=hp)
-    prod_pp = jnp.einsum("bri,brj->bij", jp, jp)
-    hpp = jnp.einsum("bij,bc->cij", prod_pp, oc, precision=hp)
-    g_p = jnp.einsum("bi,bc->ci", jnp.einsum("bri,br->bi", jp, r), oc,
-                     precision=hp)
+    hcp = to_caps(jnp.einsum("bri,brj->bij", jc, jp), (3, 6))
+    hpp = to_caps(jnp.einsum("bri,brj->bij", jp, jp), (6, 6))
+    g_p = to_caps(jnp.einsum("bri,br->bi", jp, r), (6,))
 
     hct = jnp.einsum("bri,brj->bij", jc, jt).reshape(
         n_tags, s_max, 3, 6).sum(axis=1)
@@ -173,23 +192,20 @@ def assemble_grouped(r, jc, jp, jt, cap_idx, n_caps: int, n_tags: int,
     g_t = jnp.einsum("bri,br->bi", jt, r).reshape(
         n_tags, s_max, 6).sum(axis=1)
 
-    prod_pt = jnp.einsum("bri,brj->bij", jp, jt).reshape(
+    wt_s = jnp.einsum("bri,brj->bij", jp, jt).reshape(
         n_tags, s_max, 6, 6)
-    wt_pp = jnp.einsum("tsc,tsij->tcij",
-                       oc.reshape(n_tags, s_max, n_caps), prod_pt,
-                       precision=hp)
-    wt_raw = jnp.concatenate(
-        [hct, wt_pp.reshape(n_tags, 6 * n_caps, 6)], axis=1)
-    return GroupedEqs(hcc, hcp, hpp, wt_raw, htt, g_c, g_p, g_t)
+    return GroupedEqs(hcc, hcp, hpp, hct, wt_s, htt, g_c, g_p, g_t)
 
 
-def _scale_and_damp_tags(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
-                         jacobi_scaling: bool = True,
+def _scale_and_damp_tags(hct, wt_s, slot_cap, htt, g_t, s_c, s_p, tag_active,
+                         lam, jacobi_scaling: bool = True,
                          min_diag: float = 1e-6, max_diag: float = 1e32):
-    """Shared prologue of the grouped eliminations: Jacobi-scale the
-    coupling slab / tag blocks / tag gradients, damp V, batch-invert.
-    Returns (wt, v_inv, g_t_scaled, s_t)."""
+    """Shared prologue of the grouped eliminations: Jacobi-scale the sparse
+    coupling blocks / tag blocks / tag gradients, damp V, batch-invert.
+    ``slot_cap`` (T*S,) maps each coupling slot to its capture (row scales
+    gather through it).  Returns (hct_s, wt_ss, v_inv, g_t_scaled, s_t)."""
     dtype = htt.dtype
+    n_tags, s_max = wt_s.shape[:2]
     tag_m = tag_active.astype(dtype)
 
     d_t = jnp.diagonal(htt, axis1=-2, axis2=-1)  # (t, 6)
@@ -198,8 +214,9 @@ def _scale_and_damp_tags(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
     else:
         s_t = jnp.broadcast_to(tag_m[:, None], d_t.shape)
 
-    s_r = jnp.concatenate([s_c, s_p.reshape(-1)])  # (Nr,)
-    wt = wt_raw * s_r[None, :, None] * s_t[:, None, :]
+    hct_s = hct * s_c[None, :, None] * s_t[:, None, :]
+    sp_slot = s_p[slot_cap].reshape(n_tags, s_max, 6)
+    wt_ss = wt_s * sp_slot[:, :, :, None] * s_t[:, None, None, :]
     htt = htt * s_t[:, :, None] * s_t[:, None, :]
     g_t = g_t * s_t
 
@@ -209,52 +226,100 @@ def _scale_and_damp_tags(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
     htt = jnp.where(tag_m[:, None, None] > 0, htt, eye6)
 
     v_inv = jnp.linalg.inv(htt)  # (t, 6, 6), batched
-    return wt, v_inv, g_t, s_t
+    return hct_s, wt_ss, v_inv, g_t, s_t
 
 
-def eliminate_tags_grouped(wt_raw, htt, g_t, s_c, s_p, tag_active, lam,
-                           jacobi_scaling: bool = True,
+def expand_coupling_slab(hct_s, wt_ss, slot_cap, n_caps: int):
+    """Expand the capture-sparse coupling into the dense (T, Nr, 6) slab —
+    TRANSIENT, used only by the dense reduced solve (the slab no longer
+    lives in the LM loop state; CG never builds it).  Routing is a {0,1}
+    one-hot contraction of already-scaled values; HIGHEST precision keeps it
+    a pure routing (bf16 rounding would perturb H)."""
+    n_tags, s_max = wt_ss.shape[:2]
+    oc = (slot_cap.reshape(n_tags, s_max)[:, :, None]
+          == jnp.arange(n_caps, dtype=jnp.int32)[None, None, :]
+          ).astype(wt_ss.dtype)  # (T, S, C); masked slots carry zero blocks
+    wt_pp = jnp.einsum("tsc,tsij->tcij", oc, wt_ss,
+                       precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate(
+        [hct_s, wt_pp.reshape(n_tags, 6 * n_caps, 6)], axis=1)
+
+
+def eliminate_tags_grouped(hct, wt_s, slot_cap, htt, g_t, s_c, s_p,
+                           tag_active, lam, jacobi_scaling: bool = True,
                            min_diag: float = 1e-6, max_diag: float = 1e32):
-    """Schur-eliminate tag blocks from the grouped coupling slab.  Same
-    math as eliminate_tags, minus the dense-(6C, 6T) W assembly."""
-    wt, v_inv, g_t, s_t = _scale_and_damp_tags(
-        wt_raw, htt, g_t, s_c, s_p, tag_active, lam, jacobi_scaling,
-        min_diag, max_diag,
+    """Schur-eliminate tag blocks from the capture-sparse coupling.  Same
+    math as eliminate_tags; the dense (T, Nr, 6) slab exists only as a
+    transient inside this call (the dense reduced system is (Nr, Nr) anyway,
+    so the dense path's memory is already O(Nr^2)).
+
+    Returns (wvw, wvg, ctx) with wvw/wvg ADDITIVE over tag shards and
+    ctx = (v_inv, hct_s, wt_ss, g_t_scaled, s_t) the (sparse) state
+    back-substitution needs.
+    """
+    hct_s, wt_ss, v_inv, g_t, s_t = _scale_and_damp_tags(
+        hct, wt_s, slot_cap, htt, g_t, s_c, s_p, tag_active, lam,
+        jacobi_scaling, min_diag, max_diag,
     )
+    wt = expand_coupling_slab(hct_s, wt_ss, slot_cap, s_p.shape[0])
     y = jnp.einsum("tnk,tkj->tnj", wt, v_inv)  # (t, Nr, 6)
     wvw = jnp.einsum("tnk,tmk->nm", y, wt)  # (Nr, Nr), additive over shards
     wvg = jnp.einsum("tnk,tk->n", y, g_t)  # (Nr,), additive over shards
-    return wvw, wvg, v_inv, wt, g_t, s_t
+    return wvw, wvg, (v_inv, hct_s, wt_ss, g_t, s_t)
 
 
-def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
-                           tag_active, jacobi_scaling: bool = True,
+def _cap_scatter(per_slot, cap_gather, cap_gmask, n_caps: int):
+    """Sum per-slot values (T*S, ...) into their captures (C, ...) via the
+    capture-grouped permutation — the scatter-free W·z reduction."""
+    sc = cap_gather.shape[0] // n_caps
+    trailing = per_slot.shape[1:]
+    mc = cap_gmask.astype(per_slot.dtype)
+    g = per_slot[cap_gather] * mc.reshape((-1,) + (1,) * len(trailing))
+    return g.reshape((n_caps, sc) + trailing).sum(axis=1)
+
+
+def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
+                           lam, cam_active, cap_active, tag_active,
+                           jacobi_scaling: bool = True,
                            min_diag: float = 1e-6, max_diag: float = 1e32,
                            cg_tol: float = 1e-2, cg_iters: int = 100,
-                           x0=None):
+                           x0=None, reduce_fn=None):
     """ITERATIVE_SCHUR analogue: preconditioned CG on the reduced camera
-    system with an IMPLICIT Schur complement.
+    system with an IMPLICIT, CAPTURE-SPARSE Schur complement.
 
     ``x0`` optionally warm-starts CG (the previous LM iteration's reduced
     solution — consecutive damped systems are close, so this cuts CG
     iterations substantially).  Returns (d_cam, d_cap, d_tag, delta_r).
 
-    Neither the dense (Nr, Nr) S nor its Cholesky is formed — the dominant
-    costs at scale (the T·Nr²·6 wvw einsum and the Nr³/3 factorization; at
-    2000 tags / 800 captures they were ~26 ms of a 33 ms iteration).  Each
-    CG step applies S·v = A·v − W (V⁻¹ (Wᵀ v)) in O(C·36 + T·Nr·6) flops.
+    Nothing dense in T×C is ever formed: each CG step applies
+    S·v = A·v − W (V⁻¹ (Wᵀ v)) against the per-slot 6x6 blocks in
+    O(blocks·36) flops — Wᵀv gathers capture rows by ``slot_cap`` and
+    reshape-sums per tag; W·z routes per-slot products back through the
+    capture-grouped permutation.  Peak memory is O(blocks), so a
+    10k-tag / 4k-capture problem fits one chip (the round-1 slab did not).
     Preconditioner: SCHUR_JACOBI — the exact block diagonal of S (damped
-    camera/capture blocks minus the per-block tag correction), batch
+    camera/capture blocks minus the per-slot tag corrections), batch
     inverted.  Inexact steps compose fine with the LM trust region (ceres
     ships the same combination as ITERATIVE_SCHUR).
+
+    ``reduce_fn`` (list->list) all-reduces shard-additive values in the
+    TAG-SHARDED distributed solver: once over the packed
+    [preconditioner, rhs] at setup and once per CG matvec on the (Nr,)
+    downdate — the per-step traffic is one psum of the reduced vector.
+    Identity when None (single device).
     """
     dtype = eqs.hcc.dtype
     c = eqs.hpp.shape[0]
+    n_tags, s_max = eqs.wt_s.shape[:2]
+    if reduce_fn is None:
+        def reduce_fn(arrs):
+            return arrs
     s_c, s_p = cap_scale_vectors(eqs, cam_active, cap_active, jacobi_scaling)
-    wt, v_inv, g_t_s, s_t = _scale_and_damp_tags(
-        eqs.wt_raw, eqs.htt, eqs.g_t, s_c, s_p, tag_active, lam,
-        jacobi_scaling, min_diag, max_diag,
+    hct_s, wt_ss, v_inv, g_t_s, s_t = _scale_and_damp_tags(
+        eqs.hct, eqs.wt_s, slot_cap, eqs.htt, eqs.g_t, s_c, s_p, tag_active,
+        lam, jacobi_scaling, min_diag, max_diag,
     )
+    wt_flat = wt_ss.reshape(n_tags * s_max, 6, 6)
 
     cam_m = jnp.broadcast_to(cam_active, ()).astype(dtype)
     cap_m = cap_active.astype(dtype)
@@ -273,8 +338,20 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
     hcc = hcc + lam * jnp.diag(dd_c)
     hpp = hpp + lam * dd_p[:, :, None] * eye6
 
-    wt_cam = wt[:, :3, :]  # (T, 3, 6)
-    wt_pp = wt[:, 3:, :].reshape(-1, c, 6, 6)  # (T, C, 6, 6)
+    def wt_v(vc, vp):
+        """Wᵀ v per tag: (T, 6) = hctᵀ vc + Σ_s wtᵀ vp[cap(slot)]."""
+        u = jnp.einsum("tik,i->tk", hct_s, vc)
+        vp_slot = vp[slot_cap]  # (T*S, 6) row gather
+        u_slots = jnp.einsum("bik,bi->bk", wt_flat, vp_slot)
+        return u + u_slots.reshape(n_tags, s_max, 6).sum(axis=1)
+
+    def w_z(z):
+        """W z split into (cam (3,), cap (C, 6)) parts; cap part is the
+        capture-grouped reshape-sum of per-slot products."""
+        out_c = jnp.einsum("tik,tk->i", hct_s, z)
+        z_slot = jnp.repeat(z, s_max, axis=0, total_repeat_length=n_tags * s_max)
+        per_slot = jnp.einsum("bik,bk->bi", wt_flat, z_slot)  # (T*S, 6)
+        return out_c, _cap_scatter(per_slot, cap_gather, cap_gmask, c)
 
     def s_mv(v):
         vm = v * m_r
@@ -283,21 +360,28 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
         out_c = hcc @ vc + jnp.einsum("cij,cj->i", hcp, vp)
         out_p = (jnp.einsum("cij,i->cj", hcp, vc)
                  + jnp.einsum("cij,cj->ci", hpp, vp))
-        av = jnp.concatenate([out_c, out_p.reshape(-1)])
-        u = jnp.einsum("tnk,n->tk", wt, vm)  # (T, 6)
+        u = wt_v(vc, vp)  # (T, 6), local to the tag shard
         z = jnp.einsum("tkj,tj->tk", v_inv, u)
-        av = av - jnp.einsum("tnk,tk->n", wt, z)
+        down_c, down_p = w_z(z)  # shard-additive
+        (down,) = reduce_fn(
+            [jnp.concatenate([down_c, down_p.reshape(-1)])])
+        av = jnp.concatenate([out_c, out_p.reshape(-1)]) - down
         return av * m_r + (1.0 - m_r) * v
 
-    # rhs = -g + W V^-1 g_t (masked)
+    # rhs downdate W V^-1 g_t and the SCHUR_JACOBI preconditioner diagonal
+    # corrections are all shard-additive: ONE packed reduce at setup.
     y_g = jnp.einsum("tkj,tj->tk", v_inv, g_t_s)
-    wvg = jnp.einsum("tnk,tk->n", wt, y_g)
-    g_r = jnp.concatenate([g_c, g_p.reshape(-1)])
-    rhs = (-g_r + wvg) * m_r
+    wvg_c, wvg_p = w_z(y_g)
+    dg_c = jnp.einsum("tik,tkl,tjl->ij", hct_s, v_inv, hct_s)
+    v_inv_slot = jnp.repeat(v_inv, s_max, axis=0,
+                            total_repeat_length=n_tags * s_max)
+    dg_slot = jnp.einsum("bik,bkl,bjl->bij", wt_flat, v_inv_slot, wt_flat)
+    dg_p = _cap_scatter(dg_slot, cap_gather, cap_gmask, c)
+    wvg_c, wvg_p, dg_c, dg_p = reduce_fn([wvg_c, wvg_p, dg_c, dg_p])
 
-    # SCHUR_JACOBI preconditioner: exact block diagonal of S
-    dg_c = jnp.einsum("tik,tkl,tjl->ij", wt_cam, v_inv, wt_cam)
-    dg_p = jnp.einsum("tcik,tkl,tcjl->cij", wt_pp, v_inv, wt_pp)
+    g_r = jnp.concatenate([g_c, g_p.reshape(-1)])
+    rhs = (-g_r + jnp.concatenate([wvg_c, wvg_p.reshape(-1)])) * m_r
+
     pc_c = hcc - dg_c
     pc_c = pc_c * cam_m + jnp.eye(3, dtype=dtype) * (1.0 - cam_m)
     pc_p = hpp - dg_p
@@ -316,24 +400,27 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, lam, cam_active, cap_active,
 
     delta_cam = delta_r[0:3] * s_c
     delta_cap = delta_r[3:].reshape(c, 6) * s_p
-    delta_tag = backsub_tags(v_inv, wt, g_t_s, s_t, tag_active, delta_r)
+    delta_tag = backsub_tags_sparse(v_inv, hct_s, wt_ss, slot_cap, g_t_s,
+                                    s_t, tag_active, delta_r)
     return delta_cam, delta_cap, delta_tag, delta_r
 
 
-def schur_solve_grouped(eqs: GroupedEqs, lam, cam_active, cap_active,
-                        tag_active, jacobi_scaling: bool = True,
+def schur_solve_grouped(eqs: GroupedEqs, slot_cap, lam, cam_active,
+                        cap_active, tag_active, jacobi_scaling: bool = True,
                         min_diag: float = 1e-6, max_diag: float = 1e32):
     """schur_solve over the grouped layout (same contract/return)."""
     s_c, s_p = cap_scale_vectors(eqs, cam_active, cap_active, jacobi_scaling)
-    wvw, wvg, v_inv, wt, g_t_s, s_t = eliminate_tags_grouped(
-        eqs.wt_raw, eqs.htt, eqs.g_t, s_c, s_p, tag_active, lam,
-        jacobi_scaling, min_diag, max_diag,
+    wvw, wvg, ctx = eliminate_tags_grouped(
+        eqs.hct, eqs.wt_s, slot_cap, eqs.htt, eqs.g_t, s_c, s_p, tag_active,
+        lam, jacobi_scaling, min_diag, max_diag,
     )
     delta_r, delta_cam, delta_cap = reduced_solve(
         eqs, s_c, s_p, cam_active, cap_active, lam, wvw, wvg,
         min_diag, max_diag,
     )
-    delta_tag = backsub_tags(v_inv, wt, g_t_s, s_t, tag_active, delta_r)
+    v_inv, hct_s, wt_ss, g_t_s, s_t = ctx
+    delta_tag = backsub_tags_sparse(v_inv, hct_s, wt_ss, slot_cap, g_t_s,
+                                    s_t, tag_active, delta_r)
     return delta_cam, delta_cap, delta_tag
 
 
@@ -474,6 +561,26 @@ def reduced_solve(eqs: NormalEqs, s_c, s_p, cam_active, cap_active, lam,
     delta_cam = delta_r[0:3] * s_c
     delta_cap = delta_r[3:].reshape(C, 6) * s_p
     return delta_r, delta_cam, delta_cap
+
+
+def backsub_tags_sparse(v_inv, hct_s, wt_ss, slot_cap, g_t_scaled, s_t,
+                        tag_active, delta_r):
+    """Back-substitute a tag shard from the capture-sparse coupling:
+    delta_t = -V^{-1} (g_t + Wᵀ delta_r); Wᵀ delta_r gathers capture rows of
+    delta_r by ``slot_cap`` and reshape-sums per tag — local to the shard
+    that owns the tags."""
+    n_tags, s_max = wt_ss.shape[:2]
+    tag_m = tag_active.astype(v_inv.dtype)
+    dc = delta_r[:3]
+    dp = delta_r[3:].reshape(-1, 6)
+    wtd = jnp.einsum("tik,i->tk", hct_s, dc)
+    dp_slot = dp[slot_cap]  # (T*S, 6)
+    per_slot = jnp.einsum("bik,bi->bk",
+                          wt_ss.reshape(n_tags * s_max, 6, 6), dp_slot)
+    wtd = wtd + per_slot.reshape(n_tags, s_max, 6).sum(axis=1)
+    delta_t = -jnp.einsum("tkj,tj->tk", v_inv,
+                          g_t_scaled + wtd) * tag_m[:, None]
+    return delta_t * s_t
 
 
 def backsub_tags(v_inv, wt, g_t_scaled, s_t, tag_active, delta_r):

@@ -90,16 +90,38 @@ def make_synthetic_map(
     store.camera.size = image_size
     half_w, half_h = image_size[0] / 2, image_size[1] / 2
 
+    # Vectorized projection: the naive per-(capture, tag) scipy loop is
+    # O(C*T) Python calls — hours at the 10k-tag / 4k-capture scale the
+    # solver now handles.  Project ALL tags per capture in one shot; noise
+    # is still drawn per visible detection in ascending-tag order so the
+    # rng stream (and thus every seeded fixture) is unchanged.
+    from scipy.spatial.transform import Rotation
+
+    dirs = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=float)
+    corners_local = np.concatenate(
+        [0.5 * aruco_size * dirs, np.zeros((4, 1))], axis=1)  # (4, 3)
+    r_tags = Rotation.from_rotvec(tag_poses[:, 3:6]).as_matrix()  # (T,3,3)
+    p_w = (np.einsum("tij,cj->tci", r_tags, corners_local)
+           + tag_poses[:, None, 0:3])  # (T, 4, 3)
+
     for c in range(n_caps):
+        r_inv = Rotation.from_rotvec(cap_poses[c, 3:6]).as_matrix()
+        p_c = (p_w + cap_poses[c, 0:3]) @ r_inv.T  # (T, 4, 3)
+        z_ok = np.all(p_c[:, :, 2] > 0.1, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xy = p_c[:, :, 0:2] / p_c[:, :, 2:3]
+            if distort:
+                r2 = np.sum(xy * xy, axis=-1, keepdims=True)
+                xy = xy * (1.0 + r2 * (camera[1] + camera[2] * r2))
+            uv_all = camera[0] * xy  # (T, 4, 2)
+        with np.errstate(invalid="ignore"):
+            in_img = (np.all(np.abs(uv_all[:, :, 0]) <= half_w, axis=1)
+                      & np.all(np.abs(uv_all[:, :, 1]) <= half_h, axis=1))
         dets = []
-        for t in range(n_tags):
-            uv = _project_np(camera, cap_poses[c], tag_poses[t], aruco_size,
-                             distort)
-            if uv is None:
-                continue
-            if np.any(np.abs(uv[:, 0]) > half_w) or np.any(np.abs(uv[:, 1]) > half_h):
-                continue
-            obs = uv + rng.normal(scale=noise_px, size=uv.shape) if noise_px else uv
+        for t in np.nonzero(z_ok & in_img)[0]:
+            uv = uv_all[t]
+            obs = (uv + rng.normal(scale=noise_px, size=uv.shape)
+                   if noise_px else uv)
             dets.append((f"aruco_4X4_50_{t}", obs))
         if len(dets) >= min_tags_per_cap:
             store.add_detections(f"cap_{c}", dets, image_size)

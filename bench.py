@@ -81,6 +81,9 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         counts = np.bincount(arrs.tag_idx[arrs.block_mask],
                              minlength=arrs.tag_poses.shape[0])
         obs_per_tag = -(-int(counts.max()) // 8) * 8
+        ccounts = np.bincount(arrs.cap_idx[arrs.block_mask],
+                              minlength=arrs.cap_poses.shape[0])
+        obs_per_cap = -(-int(ccounts.max()) // 8) * 8
 
         def run(n):
             # traced iteration budget: ONE compiled program serves both
@@ -89,7 +92,7 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
                 *args[:7], cam_a, cap_m, tag_m,
                 aruco_size=0.0635, config=config,
                 iter_budget=jnp.asarray(n, jnp.int32),
-                obs_per_tag=obs_per_tag,
+                obs_per_tag=obs_per_tag, obs_per_cap=obs_per_cap,
             )
             return info
 
@@ -189,7 +192,7 @@ def bench_localize_throughput(store, dtype, q=256, reps=3):
     q_seed = np.zeros(q, dtype=np.int32)
 
     def run():
-        poses, costs = localize_kernel(
+        poses, costs, _ = localize_kernel(
             jnp.asarray(store.camera.params, dtype=dtype),
             jnp.asarray(tag_poses), jnp.asarray(q_tag_idx),
             jnp.asarray(q_corners), jnp.asarray(q_mask), jnp.asarray(q_seed),

@@ -265,7 +265,8 @@ def _perturbed_problem(n_tags=9, n_caps=5, seed=1, scale=0.02):
 
 def test_grouped_assembly_matches_flat():
     """assemble_grouped over the tag-grouped table reproduces the flat
-    assemble blocks exactly (up to summation order)."""
+    assemble blocks exactly (up to summation order); the capture-sparse
+    coupling blocks scatter back to the dense hpt."""
     import jax
     from ar_slam_tpu.solve.residuals import linearize
     from ar_slam_tpu.solve.schur import (
@@ -284,14 +285,19 @@ def test_grouped_assembly_matches_flat():
 
     s_max = int(np.bincount(
         arrs.tag_idx[arrs.block_mask], minlength=nT).max()) + 1
+    sc_max = int(np.bincount(
+        arrs.cap_idx[arrs.block_mask], minlength=nC).max()) + 1
     gather, mask_g = group_blocks_by_tag(
         jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.block_mask), nT, s_max)
     cap_idx_g = jnp.asarray(arrs.cap_idx)[gather]
+    cap_gather, cap_gmask = group_blocks_by_tag(cap_idx_g, mask_g, nC,
+                                                sc_max)
     tag_idx_g = jnp.repeat(jnp.arange(nT, dtype=jnp.int32), s_max)
     corners_g = jnp.asarray(arrs.corners)[gather]
     rg, jcg, jpg, jtg, _ = linearize(*args, cap_idx_g, tag_idx_g,
                                      corners_g, mask_g, ARUCO_SIZE)
-    grouped = assemble_grouped(rg, jcg, jpg, jtg, cap_idx_g, nC, nT, s_max)
+    grouped = assemble_grouped(rg, jcg, jpg, jtg, cap_gather, cap_gmask,
+                               nC, nT, s_max)
 
     np.testing.assert_allclose(grouped.hcc, flat.hcc, rtol=1e-9)
     np.testing.assert_allclose(grouped.hpp, flat.hpp, rtol=1e-9, atol=1e-9)
@@ -300,13 +306,18 @@ def test_grouped_assembly_matches_flat():
     np.testing.assert_allclose(grouped.g_c, flat.g_c, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(grouped.g_p, flat.g_p, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(grouped.g_t, flat.g_t, rtol=1e-9, atol=1e-9)
-    # coupling slab vs dense hpt: wt_raw[t, 3+6c+i, j] == hpt[6c+i, 6t+j],
-    # wt_raw[t, 0:3, :] == hct[t]
-    np.testing.assert_allclose(grouped.wt_raw[:, :3, :], flat.hct,
-                               rtol=1e-9, atol=1e-9)
-    wt_pp = np.asarray(grouped.wt_raw[:, 3:, :])  # (T, 6C, 6)
-    hpt = np.asarray(flat.hpt).reshape(6 * nC, nT, 6)
-    np.testing.assert_allclose(wt_pp, hpt.transpose(1, 0, 2),
+    np.testing.assert_allclose(grouped.hct, flat.hct, rtol=1e-9, atol=1e-9)
+    # capture-sparse coupling blocks scatter back to the dense hpt
+    wt_s = np.asarray(grouped.wt_s)  # (T, S, 6, 6)
+    cap_g = np.asarray(cap_idx_g).reshape(nT, s_max)
+    mask_ts = np.asarray(mask_g).reshape(nT, s_max)
+    hpt_dense = np.zeros((6 * nC, 6 * nT))
+    for t in range(nT):
+        for sl in range(s_max):
+            if mask_ts[t, sl]:
+                c = cap_g[t, sl]
+                hpt_dense[6 * c:6 * c + 6, 6 * t:6 * t + 6] += wt_s[t, sl]
+    np.testing.assert_allclose(hpt_dense, np.asarray(flat.hpt),
                                rtol=1e-9, atol=1e-9)
     # total residual identical
     np.testing.assert_allclose(float(jnp.sum(rg * rg)),
@@ -344,9 +355,11 @@ def test_lm_grouped_matches_flat_solve():
 
 def test_grouped_assembly_exact_under_bf16_default():
     """TPU's default matmul precision rounds f32 einsum inputs to bf16.
-    The grouped assembly's one-hot ROUTING matmuls must stay exact anyway
-    (precision=HIGHEST pinned) — without it the incremental solver diverged
-    on TPU (424 px vs 0.32 px on the 200-tag map-throughput run)."""
+    The capture-side reductions must stay exact anyway — round 1 routed
+    them through one-hot matmuls (needing precision=HIGHEST); the sparse
+    layout's gather + reshape-sum adds exactly by construction, and this
+    guard keeps it that way (without exactness the incremental solver
+    diverged on TPU: 424 px vs 0.32 px on the 200-tag map run)."""
     import jax
     from ar_slam_tpu.solve.residuals import linearize
     from ar_slam_tpu.solve.schur import (
@@ -366,9 +379,13 @@ def test_grouped_assembly_exact_under_bf16_default():
 
     s_max = int(np.bincount(
         arrs.tag_idx[arrs.block_mask], minlength=nT).max())
+    sc_max = int(np.bincount(
+        arrs.cap_idx[arrs.block_mask], minlength=nC).max())
     gather, mask_g = group_blocks_by_tag(
         jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.block_mask), nT, s_max)
     cap_idx_g = jnp.asarray(arrs.cap_idx)[gather]
+    cap_gather, cap_gmask = group_blocks_by_tag(cap_idx_g, mask_g, nC,
+                                                sc_max)
     rg, jcg, jpg, jtg = (x[gather] for x in (r, jc, jp, jt))
     rg = jnp.where(mask_g[:, None], rg, 0.0)
     jcg = jnp.where(mask_g[:, None, None], jcg, 0.0)
@@ -377,8 +394,8 @@ def test_grouped_assembly_exact_under_bf16_default():
     with jax.default_matmul_precision("bfloat16"):
         grouped = jax.jit(
             lambda *a: assemble_grouped(*a, nC, nT, s_max)
-        )(rg, jcg, jpg, jtg, cap_idx_g)
-    # routing matmuls must not round the block values to bf16
+        )(rg, jcg, jpg, jtg, cap_gather, cap_gmask)
+    # the capture-side reductions must not round the block values to bf16
     np.testing.assert_allclose(grouped.hpp, flat.hpp, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(grouped.hcp, flat.hcp, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(grouped.g_p, flat.g_p, rtol=1e-6, atol=1e-6)

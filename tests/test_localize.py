@@ -94,3 +94,58 @@ def test_localize_many_synthetic_batch():
     result = localize_many(map_store, first_loc)
     assert result["localized"] == len(query_caps)
     assert result["rmse"] < 0.5, result
+
+
+def test_localize_reports_per_query_iterations():
+    store = load_demo_store()
+    solve_batch(store, ArSlamConfig())
+    first_loc = store.next_capture_index
+    add_fixture_capture(store, "cap_3")
+    result = localize_many(store, first_loc)
+    iters = result["iterations"]
+    assert set(iters) == {"cap_3"}
+    # converged well before the 50-iteration budget (the convergence
+    # battery — param tolerance + stall-lambda — must actually fire)
+    assert 1 <= iters["cap_3"] < 50, iters
+
+
+def test_localize_unknown_tags_parity_switch():
+    """--parity restores the reference's localizeOne semantics: blocks for
+    map-UNKNOWN tags are added with their constant (zero) store poses
+    (ar_slam_util.cpp:950-972), degrading the solve; the default excludes
+    them (documented divergence)."""
+    import dataclasses
+
+    def build():
+        store = load_demo_store()
+        solve_batch(store, ArSlamConfig())
+        first = store.next_capture_index
+        cap_idx = add_fixture_capture(store, "cap_3")
+        # add an observation of a tag the map has never seen: under parity
+        # it joins the residual set at pose zero
+        tag = store.get_or_add_aruco("aruco_4X4_50_49")
+        store.add_block(
+            np.array([[-60, -60], [-20, -60], [-20, -20], [-60, -20]],
+                     float),
+            cap_idx, tag.index,
+        )
+        return store, first
+
+    s1, f1 = build()
+    r_default = localize_many(s1, f1)
+    s2, f2 = build()
+    cfg_parity = ArSlamConfig()
+    cfg_parity = dataclasses.replace(
+        cfg_parity, solver=dataclasses.replace(
+            cfg_parity.solver, localize_unknown_tags=True))
+    r_parity = localize_many(s2, f2, cfg_parity)
+
+    assert r_default["localized"] == r_parity["localized"] == 1
+    # default ignores the junk observation entirely -> clean residual
+    assert r_default["rmse"] < 2.0, r_default
+    # parity includes the zero-pose tag's 8 residuals -> far larger cost
+    assert r_parity["cost"] > 10.0 * max(r_default["cost"], 1e-9), (
+        r_default, r_parity)
+    # and the recovered poses differ (the junk block pulls the solve)
+    assert not np.allclose(s1.captures[f1].inv_pose,
+                           s2.captures[f2].inv_pose)

@@ -38,7 +38,8 @@ def _measure(mesh_sizes, args, label_stream=sys.stderr):
 
     arrs, cap_poses, tag_poses = build_problem(args.tags, args.caps)
     config = LMConfig(max_iterations=args.iters, function_tolerance=0.0,
-                      parameter_tolerance=0.0)
+                      parameter_tolerance=0.0,
+                      linear_solver=getattr(args, "solver", "dense"))
 
     results = {}
     for n in mesh_sizes:
@@ -106,12 +107,22 @@ def _multihost_parent(args):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--tags", str(args.tags), "--caps", str(args.caps),
-             "--iters", str(args.iters)],
+             "--iters", str(args.iters), "--solver", args.solver],
             stdout=subprocess.PIPE,
             stderr=None if pid == 0 else subprocess.DEVNULL,
             text=True, env=env,
         ))
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # on timeout or any failure kill ALL controllers: a gloo peer blocked
+    # in a collective otherwise hangs forever and leaks orphans
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    except Exception:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait(timeout=30)
+        raise
     for pid, p in enumerate(procs):
         if p.returncode != 0:
             print(f"controller {pid} failed", file=sys.stderr)
@@ -124,7 +135,7 @@ def _multihost_parent(args):
         [sys.executable, os.path.abspath(__file__),
          "--cpu-mesh", str(n), "--devices", str(n),
          "--tags", str(args.tags), "--caps", str(args.caps),
-         "--iters", str(args.iters)],
+         "--iters", str(args.iters), "--solver", args.solver],
         capture_output=True, text=True, timeout=900, check=True,
     )
     sp = json.loads(out1.stdout.strip().splitlines()[-1])
@@ -144,6 +155,10 @@ def main():
     ap.add_argument("--tags", type=int, default=500)
     ap.add_argument("--caps", type=int, default=200)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--solver", choices=["dense", "cg"], default="dense",
+                    help="reduced-system solver: dense Cholesky "
+                         "(DENSE_SCHUR) or tag-sharded implicit-Schur CG "
+                         "(ITERATIVE_SCHUR)")
     ap.add_argument("--cpu-mesh", type=int, default=0,
                     help="force a virtual CPU mesh of this size")
     ap.add_argument("--multihost", type=int, default=0,
