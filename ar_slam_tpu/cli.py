@@ -112,7 +112,17 @@ def cmd_detect(args) -> int:
 def cmd_serve(args) -> int:
     """Incremental mapping: read image paths (one per line) from stdin or
     watch a directory; solve incrementally after each batch; save the map
-    on shutdown (≙ ArSlam node lifecycle ar_slam.cpp:103-111)."""
+    on shutdown (≙ ArSlam node lifecycle ar_slam.cpp:103-111).
+
+    Default mode is PIPELINED: decode, device detection, the merge join and
+    the incremental solve overlap through double-buffered queues, ≙ the
+    reference's multithreaded component container
+    (ar_slam_launch.py:124-142); --sequential restores the strict
+    poll→detect→solve loop.  With --artifacts FILE every solved batch
+    appends one jsonl record of TF/CameraInfo/markers (≙ the per-batch
+    publishes at ar_slam.cpp:133-155); --debug-images DIR writes an
+    annotated PNG per newly solved capture (≙ displayDebug per solve,
+    ar_slam_util.cpp:982-998, headless)."""
     import time
 
     from ar_slam_tpu.pipeline.engine import ArSlamEngine
@@ -121,6 +131,24 @@ def cmd_serve(args) -> int:
                           use_tpu_detector=not args.cpu_detector)
     if args.map and os.path.exists(args.map):
         engine.load_map(args.map)
+    emit = _serve_artifact_emitter(args, engine)
+    pipe = None
+    if not args.sequential:
+        from ar_slam_tpu.pipeline.stream import StreamPipeline
+
+        pipe = StreamPipeline(engine, on_solve=emit)
+
+    def handle(batch):
+        if pipe is not None:
+            pipe.submit(batch)
+            return "pipelined"
+        before = engine.store.next_capture_index
+        engine.add_images(batch)
+        s = engine.solve_incremental()
+        uids = [c.uid for c in engine.store.captures[before:]]
+        emit(s, uids)
+        return s
+
     seen = set()
     server = None
     if args.listen:
@@ -144,10 +172,13 @@ def cmd_serve(args) -> int:
                 if server is not None:
                     batch.extend(server.pop_batch())
                 if batch:
-                    engine.add_images(batch)
-                    s = engine.solve_incremental()
+                    s = handle(batch)
                     print(f"+{len(batch)} images: {s}")
+                if pipe is not None:
+                    pipe.poll()
                 if server is not None:
+                    if pipe is not None and server.has_make_map():
+                        pipe.drain()  # make-map answers see a settled store
                     for respond, fns in server.pop_make_map():
                         respond(_make_map_response(args, fns))
                 time.sleep(args.poll)
@@ -156,12 +187,18 @@ def cmd_serve(args) -> int:
                 fn = line.strip()
                 if not fn:
                     continue
-                engine.add_images([fn])
-                s = engine.solve_incremental()
+                s = handle([fn])
                 print(f"{fn}: {s}")
     except KeyboardInterrupt:
         pass
     finally:
+        if pipe is not None:
+            try:
+                last = pipe.drain()
+                if last is not None:
+                    print(f"final: {last}")
+            finally:
+                pipe.close()
         if server is not None:
             server.close()
         if args.output:
@@ -169,6 +206,51 @@ def cmd_serve(args) -> int:
         engine.close()
         _maybe_print_metrics(args, engine)
     return 0
+
+
+def _serve_artifact_emitter(args, engine):
+    """Build the per-solve artifact callback: jsonl TF/CameraInfo/marker
+    stream (--artifacts) + annotated debug PNGs (--debug-images)."""
+    import json as _json
+    import time as _time
+
+    art_path = getattr(args, "artifacts", "")
+    dbg_dir = getattr(args, "debug_images", "")
+    if dbg_dir:
+        os.makedirs(dbg_dir, exist_ok=True)
+
+    def emit(summary, uids):
+        if not (art_path or dbg_dir):
+            return
+        if art_path:
+            art = engine.export_artifacts()
+            rec = {
+                "t": _time.time(),
+                "solved_uids": list(uids),
+                "summary": {k: (float(v) if hasattr(v, "__float__") else v)
+                            for k, v in (summary or {}).items()
+                            if not isinstance(v, dict)},
+                **art,
+            }
+            with open(art_path, "a") as f:
+                f.write(_json.dumps(rec) + "\n")
+        if dbg_dir:
+            from ar_slam_tpu.pipeline.ingest import load_image
+            from ar_slam_tpu.viz.annotate import annotate_capture
+
+            for uid in uids:
+                idx = engine.store.capture_map.get(uid)
+                if idx is None:
+                    continue
+                cap = engine.store.captures[idx]
+                if not cap.img_fn or not os.path.exists(cap.img_fn):
+                    continue
+                img = load_image(cap.img_fn)
+                out = os.path.join(dbg_dir, f"{uid}_annotated.png")
+                annotate_capture(engine.store, idx, img, out,
+                                 show_all_tags=True)
+
+    return emit
 
 
 def cmd_load_images(args) -> int:
@@ -314,7 +396,8 @@ def _config(args):
     if getattr(args, "parity", False):
         cfg = dataclasses.replace(
             cfg,
-            solver=dataclasses.replace(cfg.solver, seed_mode="frontal"),
+            solver=dataclasses.replace(cfg.solver, seed_mode="frontal",
+                                       localize_unknown_tags=True),
             camera=dataclasses.replace(cfg.camera, focal_init_mode="fixed"),
         )
     n_dev = getattr(args, "devices", None)
@@ -421,7 +504,9 @@ def main(argv=None) -> int:
                              "batched device detector")
         sp.add_argument("--parity", action="store_true",
                         help="reference-parity mode: fixed focal init 3000 "
-                             "+ frontal-only seeding")
+                             "+ frontal-only seeding + localization "
+                             "includes map-unknown tags at constant zero "
+                             "poses (ar_slam_util.cpp:950-972)")
         sp.add_argument("--devices", type=int, default=None,
                         help="shard the solve over N devices (distributed "
                              "BA over a 'blocks' mesh); 0/1 = single device")
@@ -500,6 +585,16 @@ def main(argv=None) -> int:
     sp.add_argument("--listen", default="",
                     help="unix socket path for the load_images service "
                          "(clients: arslam load-images --sock PATH img...)")
+    sp.add_argument("--sequential", action="store_true",
+                    help="disable the overlapped ingest/detect/merge/solve "
+                         "pipeline (strict poll-detect-solve loop)")
+    sp.add_argument("--artifacts", default="",
+                    help="append one jsonl record of TF/CameraInfo/markers "
+                         "per solved batch (≙ the per-batch publishes, "
+                         "ar_slam.cpp:133-155)")
+    sp.add_argument("--debug-images", default="", dest="debug_images",
+                    help="write an annotated PNG per newly solved capture "
+                         "into this directory (≙ per-solve displayDebug)")
     common(sp)
     sp.set_defaults(fn=cmd_serve)
 
@@ -581,7 +676,9 @@ def _maybe_multihost(args) -> None:
         import tempfile
 
         scratch = tempfile.mkdtemp(prefix="arslam-mh-")
-        for attr in ("output",):
+        # redirect per-process artifacts (map output AND xprof traces) so N
+        # controllers never clobber each other's files
+        for attr in ("output", "profile"):
             if getattr(args, attr, None):
                 setattr(args, attr, os.path.join(
                     scratch, os.path.basename(getattr(args, attr))))

@@ -73,12 +73,26 @@ class ArSlamEngine:
     # ---- detection front end --------------------------------------------
 
     def detect_images(self, paths: list[str]) -> list[tuple[str, list, tuple, str]]:
-        """Ingest + detect a batch of images.
+        """Ingest + detect a batch of images (sequential mode).
 
         Returns [(uid, [(tag_id, centered_corners(4,2)), ...], (w, h), path)].
         """
         with self.metrics.timer("ingest"):
             caps = self.ingest.ingest_many(paths)
+        return [
+            (uid, [d for dets in by_dict.values() for d in dets], size, path)
+            for uid, by_dict, size, path in self.detect_decoded(caps)
+        ]
+
+    def detect_decoded(self, caps) -> list[tuple[str, dict, tuple, str]]:
+        """Detect over already-ingested captures, keeping each dictionary's
+        detections separate (the pipelined mode feeds them to the merge
+        stage as distinct detector streams, ≙ the two ArucoDetector
+        components running on the same image, ar_slam_launch.py:75-95).
+
+        Returns [(uid, {"aruco_<dict>": [(tag_id, corners), ...]}, (w, h),
+        path)].
+        """
         if not caps:
             return []
         images = np.stack([c.image for c in caps])
@@ -108,20 +122,23 @@ class ArSlamEngine:
             per_image = self._run_detector(det_images, dict_names)
         if scale != 1.0:
             per_image = [
-                [(tid, corners / scale) for tid, corners in dets]
-                for dets in per_image
+                {dt: [(tid, corners / scale) for tid, corners in dets]
+                 for dt, dets in by_dict.items()}
+                for by_dict in per_image
             ]
         self.metrics.count("images_detected", len(caps))
         self.metrics.count(
-            "detections", sum(len(d) for d in per_image)
+            "detections",
+            sum(len(d) for bd in per_image for d in bd.values())
         )
         out = []
         for i, cap in enumerate(caps):
-            dets = per_image[i]
-            if len(dets) <= 2:
+            by_dict = per_image[i]
+            flat = [d for dets in by_dict.values() for d in dets]
+            if len(flat) <= 2:
                 logger.warning("not enough AR tags detected in %s (%d)",
-                               cap.path, len(dets))
-            out.append((cap.uid, dets, (w, h), cap.path))
+                               cap.path, len(flat))
+            out.append((cap.uid, by_dict, (w, h), cap.path))
             if self.event_log:
                 # ≙ BagRecorder's captures stream (bag_recorder.cpp:73-83):
                 # the raw-capture record (path, not pixels) + detections
@@ -133,15 +150,19 @@ class ArSlamEngine:
                     width=w, height=h,
                     detections=[
                         {"id": tid, "corners": c.reshape(-1).tolist()}
-                        for tid, c in dets
+                        for tid, c in flat
                     ],
                 )
         return out
 
     def _run_detector(self, images, dict_names):
+        """Returns one dict per image: {"aruco_<dict>": [(tag_id,
+        centered_corners), ...]} (keys only for dictionaries that fired
+        the detector — all of ``dict_names``)."""
         h, w = images.shape[1:]
         center = np.array([w / 2.0, h / 2.0])
-        per_image = [[] for _ in range(len(images))]
+        per_image = [{f"aruco_{n}": [] for n in dict_names}
+                     for _ in range(len(images))]
         if self.use_tpu_detector:
             import jax.numpy as jnp
 
@@ -176,7 +197,7 @@ class ArSlamEngine:
                 valid = np.asarray(out[name]["valid"])
                 for i in range(len(per_image)):
                     for k in np.nonzero(valid[i])[0]:
-                        per_image[i].append(
+                        per_image[i][f"aruco_{name}"].append(
                             (f"aruco_{name}_{int(ids[i][k])}",
                              corners[i][k] - center)
                         )
@@ -185,7 +206,10 @@ class ArSlamEngine:
 
             for i, img in enumerate(images):
                 for d in detect_markers(img, dict_names=dict_names):
-                    per_image[i].append((d.id, d.corners - center))
+                    # d.id = "aruco_<dict>_<n>" -> detector stream key
+                    det_type = d.id.rsplit("_", 1)[0]
+                    per_image[i].setdefault(det_type, []).append(
+                        (d.id, d.corners - center))
         return per_image
 
     # ---- mapping flows ---------------------------------------------------

@@ -108,6 +108,10 @@ class LoadImagesServer:
                 out.append(self._queue.popleft())
         return out
 
+    def has_make_map(self) -> bool:
+        with self._lock:
+            return bool(self._make_map)
+
     def pop_make_map(self):
         """Drain pending make_map requests as (respond, img_fns) pairs.
         ``respond(dict)`` sends the JSON response and closes the client."""

@@ -406,3 +406,93 @@ def test_config_file_unknown_key_raises(tmp_path):
 
     with _pytest.raises(ValueError, match="max_iteration"):
         ArSlamConfig.from_dict({"solver": {"max_iteration": 5}})
+
+
+# ---- pipelined streaming mode (≙ the MT component container) --------------
+
+def test_stream_pipeline_e2e_matches_sequential():
+    """The overlapped ingest→detect→merge→solve pipeline produces the same
+    map as the strict sequential loop, actually drives the MergeDetections
+    join for every capture, overlaps stages in wall-time, and is at least
+    as fast on a 12-image stream (≙ ar_slam_launch.py:124-142's MT
+    container vs single-threaded execution)."""
+    import time
+
+    from ar_slam_tpu.config import ArSlamConfig, PipelineConfig
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+    from ar_slam_tpu.pipeline.stream import StreamPipeline
+    import dataclasses
+
+    cfg = dataclasses.replace(ArSlamConfig(),
+                              pipeline=PipelineConfig(batch_size=4))
+    paths = IMAGES[:3] * 4  # 12 images, tags in every one
+    bs = 4
+
+    # warm the jit caches (detector + solver) so timing compares steady
+    # state, not compilation
+    warm = ArSlamEngine(config=cfg)
+    warm.add_images(IMAGES[:3])
+    warm.solve_incremental()
+
+    eng_s = ArSlamEngine(config=cfg)
+    t0 = time.time()
+    for i in range(0, len(paths), bs):
+        eng_s.add_images(paths[i:i + bs])
+        eng_s.solve_incremental()
+    seq_wall = time.time() - t0
+
+    eng_p = ArSlamEngine(config=cfg)
+    pipe = StreamPipeline(eng_p)
+    t0 = time.time()
+    pipe.submit(paths)
+    out = pipe.drain()
+    pipe_wall = time.time() - t0
+    pipe.close()
+
+    assert out is not None and out.get("unsolved", 0) == 0
+    # identical maps (same captures in the same order, same optimum)
+    assert eng_p.store.stats() == eng_s.store.stats()
+    assert [c.uid for c in eng_p.store.captures] == [
+        c.uid for c in eng_s.store.captures]
+    np.testing.assert_allclose(eng_p.store.camera.params,
+                               eng_s.store.camera.params, rtol=1e-5)
+    # the merge join stage was driven for EVERY capture
+    assert len(pipe.merge.inner.published) == len(paths)
+    # stages genuinely overlapped in wall time
+    overlap = (pipe.timeline.overlap_s("ingest", "detect")
+               + pipe.timeline.overlap_s("ingest", "solve")
+               + pipe.timeline.overlap_s("detect", "solve"))
+    assert overlap > 0.0, pipe.timeline.intervals
+    # and overlapping must not be slower than strict sequential (generous
+    # bound to keep CI robust; typical measured gain is the full decode +
+    # detect time of all but the first batch)
+    assert pipe_wall <= seq_wall * 1.15, (pipe_wall, seq_wall)
+
+
+def test_serve_artifact_stream_per_batch(tmp_path, monkeypatch):
+    """arslam serve --artifacts writes one TF/CameraInfo/marker jsonl
+    record per solved batch and --debug-images one annotated PNG per
+    solved capture (≙ the per-batch publishes at ar_slam.cpp:133-155 and
+    the per-solve displayDebug)."""
+    import io
+
+    art = tmp_path / "artifacts.jsonl"
+    dbg = tmp_path / "debug"
+    out = tmp_path / "map.yaml"
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("\n".join(IMAGES[:3]) + "\n"))
+    rc = cli_main([
+        "serve", "--artifacts", str(art), "--debug-images", str(dbg),
+        "-o", str(out),
+    ])
+    assert rc == 0
+    recs = [json.loads(line) for line in open(art) if line.strip()]
+    # stdin mode solves per line -> one record per image batch
+    assert len(recs) == 3
+    for rec in recs:
+        assert rec["transforms"] and rec["camera_info"] and rec["markers"]
+        assert rec["solved_uids"]
+    pngs = sorted(os.listdir(dbg))
+    assert len(pngs) == 3 and all(p.endswith("_annotated.png")
+                                  for p in pngs)
+    assert os.path.exists(out)
