@@ -86,7 +86,12 @@ class DetectConfig:
 
     dictionaries: tuple[str, ...] = ("4X4_50", "5X5_100")
     min_corner_distance_rate: float = 0.1
-    adaptive_thresh_win_sizes: tuple[int, ...] = (23,)
+    # cv::aruco's DEFAULT detector sweeps adaptive windows 3..23 step 10
+    # (adaptiveThreshWinSizeMin/Max/Step; the reference uses default params
+    # at aruco_detector.cpp:102-106) — candidates from every window
+    # concatenate and duplicates suppress after decode.  A single-window
+    # (23,) run is ~2.5x faster when imagery is controlled.
+    adaptive_thresh_win_sizes: tuple[int, ...] = (3, 13, 23)
     adaptive_thresh_constant: float = 7.0
     min_marker_perimeter_rate: float = 0.03
     max_marker_perimeter_rate: float = 4.0

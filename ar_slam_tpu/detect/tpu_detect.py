@@ -43,7 +43,11 @@ class DetectParams(NamedTuple):
     win_sizes: tuple = ()  # multi-scale thresholds (≙ cv2 win size sweep)
     thresh_c: float = 7.0
     max_candidates: int = 32
-    ccl_iters: int = 8
+    # CCL round BOUND, not cost: both CCL backends exit early at fixpoint,
+    # so typical images stop after a few rounds while high-bend
+    # (serpentine) borders get the full budget (the ring stress test needs
+    # 24; the round-1 default of 8 could under-merge silently)
+    ccl_iters: int = 24
     min_perimeter_rate: float = 0.03
     max_perimeter_rate: float = 4.0
     min_corner_distance_rate: float = 0.1
@@ -62,6 +66,12 @@ class DetectParams(NamedTuple):
     # sort was ~9 ms/batch on TPU); areas rescale, candidate geometry stays
     # full-res.  1 = exact ranking.
     topk_subsample: int = 2
+    # components covering more than this fraction of the image are DEMOTED
+    # in the top-k ranking (scored below every plausible marker): a scene
+    # whose large dark regions (shadows, furniture) outnumber
+    # max_candidates must not evict marker-sized components.  cv2 has no
+    # candidate budget to defend; this is the budget's guard rail.
+    max_area_frac: float = 0.25
 
 
 def box_mean(img, win: int):
@@ -113,9 +123,9 @@ def connected_components(binary, iters: int):
     no 1-D gathers (TPU gathers are scalar-slow)."""
     h, w = binary.shape
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    labels = jnp.where(binary, idx, BIG)
+    labels0 = jnp.where(binary, idx, BIG)
 
-    def step(labels, _):
+    def step(labels):
         # diagonal/8-connectivity links
         neigh = -jax.lax.reduce_window(
             -labels, -BIG, jax.lax.max, (3, 3), (1, 1), "SAME"
@@ -126,31 +136,69 @@ def connected_components(binary, iters: int):
         labels = _segmented_min_scan(labels, binary, axis=1, reverse=True)
         labels = _segmented_min_scan(labels, binary, axis=0, reverse=False)
         labels = _segmented_min_scan(labels, binary, axis=0, reverse=True)
-        return labels, None
+        return labels
 
-    labels, _ = jax.lax.scan(step, labels, None, length=iters)
+    # fixpoint iteration with early exit (matching the pallas kernel's
+    # while_loop): ``iters`` is an upper BOUND, so it can be set high
+    # enough for serpentine borders without taxing typical images, which
+    # converge in a few rounds
+    def cond(carry):
+        i, _, changed = carry
+        return (i < iters) & changed
+
+    def body(carry):
+        i, labels, _ = carry
+        new = step(labels)
+        return i + 1, new, jnp.any(new != labels)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels0, jnp.bool_(True)))
     return labels
 
 
-def _top_k_components(labels_flat, k):
-    """Top-k component root labels by pixel count, scatter-free.
+def _top_k_components(labels_flat, k, grid_w: int,
+                      max_area: float | None = None):
+    """Top-k component root labels, scatter-free, RING-AWARE.
 
-    One sort (TPU-fast, vectorized bitonic) + scans: run lengths of the
-    sorted label array give per-component areas; top_k over run starts.
-    Returns (roots (k,) int32, areas (k,) float32) with area 0 for empty
-    slots (root BIG).
+    One stable key/payload sort (TPU-fast, vectorized bitonic) + scans:
+    run lengths of the sorted label array give per-component areas, and the
+    stable payload (grid position) gives each component's row span for
+    free (ascending within a run, so run start/end positions are its
+    top/bottom rows).
+
+    Ranking score = area * (2 - fill), fill = area / row_span².  Marker
+    borders are HOLLOW rings (area ≈ 4·L·t « L²), so pure-area ranking
+    systematically favors filled clutter blobs of the same size; the
+    hollowness boost (up to 2x) keeps marker-sized rings ahead of
+    equal-footprint filled distractors.  Components larger than
+    ``max_area`` grid cells are demoted below every plausibly marker-sized
+    one (score in (0, 1)) so image-scale dark regions cannot evict markers
+    from the fixed candidate budget at all; demoted slots fill only when
+    nothing better exists and the downstream quad/decode filters reject
+    them.  Returns (roots (k,) int32, areas (k,) float32 — RAW areas, not
+    scores) with area 0 for empty slots (root BIG).
     """
     p = labels_flat.shape[0]
-    s = jnp.sort(labels_flat)
     pos = jnp.arange(p, dtype=jnp.int32)
+    s, sp = jax.lax.sort((labels_flat, pos), num_keys=1, is_stable=True)
     is_start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     is_end = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
     # run start index at each position (cummax of start positions)
     start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
     # at run ends, the full run length; 0 elsewhere / background
     cand_len = jnp.where(is_end & (s != BIG), pos - start_pos + 1, 0)
-    top_area, top_pos = jax.lax.top_k(cand_len.astype(jnp.float32), k)
-    roots = jnp.where(top_area > 0, s[top_pos], BIG)
+    # grid position of the run's first pixel, propagated to the run end
+    first_gp = jax.lax.cummax(jnp.where(is_start, sp, -1))
+    span = (sp // grid_w) - (first_gp // grid_w) + 1  # rows, valid at ends
+    area_f = cand_len.astype(jnp.float32)
+    fill = area_f / jnp.maximum(span * span, 1).astype(jnp.float32)
+    score = area_f * (2.0 - jnp.minimum(fill, 1.0))
+    if max_area is not None:
+        score = jnp.where(area_f <= max_area, score,
+                          0.5 + area_f / (2.0 * float(p) + 1.0))
+    top_score, top_pos = jax.lax.top_k(score, k)
+    top_area = jnp.where(top_score > 0, area_f[top_pos], 0.0)
+    roots = jnp.where(top_score > 0, s[top_pos], BIG)
     return roots, top_area
 
 
@@ -230,7 +278,8 @@ def _postprocess_quads(quad, top_area, h, w, params: DetectParams):
     return quad, k_area, valid
 
 
-def _top_k_subsampled(labels, k: int, subsample: int):
+def _top_k_subsampled(labels, k: int, subsample: int,
+                      max_area_frac: float | None = None):
     """Top-k component roots ranked on a min-pooled label grid (areas
     rescaled by subsample²).
 
@@ -242,9 +291,11 @@ def _top_k_subsampled(labels, k: int, subsample: int):
     upper-bounds area/subsample², erring permissive for the area filters.
     """
     s = max(int(subsample), 1)
-    if s <= 1:
-        return _top_k_components(labels.reshape(-1), k)
     h, w = labels.shape
+    max_area = (float(max_area_frac) * h * w
+                if max_area_frac is not None else None)
+    if s <= 1:
+        return _top_k_components(labels.reshape(-1), k, w, max_area)
     hp, wp = -(-h // s) * s, -(-w // s) * s
     lab = labels
     if (hp, wp) != (h, w):
@@ -253,7 +304,9 @@ def _top_k_subsampled(labels, k: int, subsample: int):
     pooled = -jax.lax.reduce_window(
         -lab, -BIG, jax.lax.max, (s, s), (s, s), "VALID"
     )
-    roots, top_area = _top_k_components(pooled.reshape(-1), k)
+    roots, top_area = _top_k_components(
+        pooled.reshape(-1), k, wp // s,
+        max_area / (s * s) if max_area is not None else None)
     return roots, top_area * float(s * s)
 
 
@@ -268,7 +321,8 @@ def extract_candidates(binary, labels, params: DetectParams):
     h, w = binary.shape
     k = params.max_candidates
 
-    roots, top_area = _top_k_subsampled(labels, k, params.topk_subsample)
+    roots, top_area = _top_k_subsampled(labels, k, params.topk_subsample,
+                                        params.max_area_frac)
     quad = _extreme_quads(labels.reshape(-1), roots, h, w)
     return _postprocess_quads(quad, top_area, h, w, params)
 
@@ -502,7 +556,8 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
 
     quads_all, valid_all = [], []
     for win in windows:
-        binary_b = threshold_batch(win)
+        with jax.named_scope(f"detect_threshold_w{win}"):
+            binary_b = threshold_batch(win)
         if use_pallas:
             from ar_slam_tpu.detect.pallas_ccl import (
                 connected_components_pallas_batch,
@@ -512,27 +567,33 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
                 extreme_quads_pallas,
             )
 
-            labels_b = connected_components_pallas_batch(
-                binary_b, iters=params.ccl_iters
-            )
+            with jax.named_scope(f"detect_ccl_w{win}"):
+                labels_b = connected_components_pallas_batch(
+                    binary_b, iters=params.ccl_iters
+                )
         else:
-            labels_b = jax.vmap(
-                lambda b: connected_components(b, params.ccl_iters)
-            )(binary_b)
+            with jax.named_scope(f"detect_ccl_w{win}"):
+                labels_b = jax.vmap(
+                    lambda b: connected_components(b, params.ccl_iters)
+                )(binary_b)
         h, w = images.shape[1:3]
         k = params.max_candidates
         if use_pallas and h * w * 4 <= VMEM_LABEL_LIMIT:
-            roots_b, area_b = jax.vmap(
-                lambda l: _top_k_subsampled(l, k, params.topk_subsample)
-            )(labels_b)
-            raw_q = extreme_quads_pallas(labels_b, roots_b, k=k)
-            q, _, v = jax.vmap(
-                lambda qq, aa: _postprocess_quads(qq, aa, h, w, params)
-            )(raw_q, area_b)
+            with jax.named_scope(f"detect_topk_w{win}"):
+                roots_b, area_b = jax.vmap(
+                    lambda l: _top_k_subsampled(l, k, params.topk_subsample,
+                                                params.max_area_frac)
+                )(labels_b)
+            with jax.named_scope(f"detect_extract_w{win}"):
+                raw_q = extreme_quads_pallas(labels_b, roots_b, k=k)
+                q, _, v = jax.vmap(
+                    lambda qq, aa: _postprocess_quads(qq, aa, h, w, params)
+                )(raw_q, area_b)
         else:
-            q, _, v = jax.vmap(
-                lambda bb, ll: extract_candidates(bb, ll, params)
-            )(binary_b, labels_b)
+            with jax.named_scope(f"detect_extract_w{win}"):
+                q, _, v = jax.vmap(
+                    lambda bb, ll: extract_candidates(bb, ll, params)
+                )(binary_b, labels_b)
         quads_all.append(q)
         valid_all.append(v)
     quads_b = jnp.concatenate(quads_all, axis=1)  # (N, K*W, 4, 2)
@@ -542,17 +603,19 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
     # better bit sampling, and not repeated per dictionary); batched so the
     # field-map box filters hit the pallas kernels
     if params.refine:
-        quads_b = refine_corners_batched(
-            images, quads_b, params.refine_win, params.refine_iters,
-            use_pallas=use_pallas,
-        )
+        with jax.named_scope("detect_refine"):
+            quads_b = refine_corners_batched(
+                images, quads_b, params.refine_win, params.refine_iters,
+                use_pallas=use_pallas,
+            )
 
     def per_image(gray, quads, valid):
         out = {}
         for name in dict_names:
-            mid, rot, corners, ok = decode_candidates(
-                gray, quads, valid, name, params, tables
-            )
+            with jax.named_scope(f"detect_decode_{name}"):
+                mid, rot, corners, ok = decode_candidates(
+                    gray, quads, valid, name, params, tables
+                )
             if len(windows) > 1:
                 ok = _suppress_duplicates(mid, corners, ok)
             out[name] = {

@@ -37,11 +37,19 @@ class BlockArrays(NamedTuple):
 
 
 def bucket_size(n: int, floor: int = 8) -> int:
-    """Smallest power-of-two >= max(n, floor)."""
+    """Padding bucket: power-of-two up to 4096, then multiples of 1024.
+
+    Pow2 jumps bound recompiles to O(log n) while the map grows, but at
+    large sizes a 2x jump wastes real HBM and bandwidth (a 10k-tag map
+    would pad to 16384 — 1.66x on every (T*S, 6, 6) array in the solver's
+    hot loop); 1024-step buckets keep waste <= ~10% there at a still-tiny
+    recompile count."""
     size = floor
-    while size < n:
+    while size < n and size < 4096:
         size *= 2
-    return size
+    if size >= n:
+        return size
+    return -(-n // 1024) * 1024
 
 
 def obs_bucket(n: int) -> int:

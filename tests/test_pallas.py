@@ -57,7 +57,8 @@ def test_pallas_extract_matches_xla():
     labels = np.asarray(connected_components(jnp.asarray(img), 6))
     k = 8
     roots, areas = jax.jit(
-        lambda l: _top_k_components(l.reshape(-1), k))(jnp.asarray(labels))
+        lambda l: _top_k_components(l.reshape(-1), k, img.shape[1])
+    )(jnp.asarray(labels))
     qx = _extreme_quads(jnp.asarray(labels).reshape(-1), roots, *img.shape)
     qp = extreme_quads_pallas(jnp.asarray(labels)[None],
                               jnp.asarray(roots)[None], k=k, strip=16,

@@ -176,3 +176,63 @@ def test_topk_min_pool_keeps_thin_rings():
     roots = np.asarray(roots)
     true_root = int(np.asarray(labels)[img].min())
     assert true_root in roots[np.asarray(areas) > 0], (roots, areas)
+
+
+def test_clutter_does_not_evict_markers():
+    """A scene with MORE large filled distractor blobs than the candidate
+    budget must still detect the markers: pure-area ranking would evict
+    the hollow marker rings (a filled blob of the same footprint has far
+    more pixels) — the ring-aware score (area x hollowness) plus the
+    oversized-component demotion keep them in the top-k."""
+    rng = np.random.default_rng(5)
+    canvas = np.full((960, 1280), 200, np.uint8)
+    # two markers, ~110 px
+    q1 = np.array([[80, 80], [190, 84], [186, 192], [78, 188]], float)
+    q2 = np.array([[1050, 700], [1160, 706], [1154, 812], [1046, 808]],
+                  float)
+    place_marker(canvas, render_marker("4X4_50", 7, 96), q1)
+    place_marker(canvas, render_marker("4X4_50", 21, 96), q2)
+    # 40 filled dark blobs, each with MORE pixels than a marker ring
+    # (ring area of a 110 px marker ~ 4*110*18 ~ 8k px; blobs are 10k px)
+    k_budget = 24  # fewer slots than distractors
+    placed = 0
+    for _ in range(400):
+        if placed >= 40:
+            break
+        y = int(rng.integers(0, 860))
+        x = int(rng.integers(0, 1180))
+        h_, w_ = 100, 100
+        # keep clear of the markers
+        if (y < 260 and x < 260) or (y > 620 and x > 960):
+            continue
+        canvas[y:y + h_, x:x + w_] = 30
+        placed += 1
+    assert placed >= 40
+    out = detect_batch(
+        jnp.asarray(canvas[None]),
+        params=DetectParams(max_candidates=k_budget),
+        dict_names=("4X4_50",),
+    )
+    ids = np.asarray(out["4X4_50"]["ids"][0])
+    valid = np.asarray(out["4X4_50"]["valid"][0])
+    got = sorted(int(i) for i in ids[valid])
+    assert got == [7, 21], got
+
+
+def test_serpentine_ccl_converges_at_default_iters():
+    """High-bend (serpentine) foreground converges within the DEFAULT
+    ccl_iters bound — the early-exit fixpoint loop makes a generous bound
+    free for typical images, so under-merging cannot happen silently."""
+    img = np.zeros((96, 96), bool)
+    # serpentine: horizontal bars connected alternately left/right
+    for i, y in enumerate(range(4, 92, 6)):
+        img[y, 4:92] = True
+        if y + 6 < 92:
+            if i % 2 == 0:
+                img[y:y + 7, 90] = True
+            else:
+                img[y:y + 7, 4] = True
+    labels = np.asarray(connected_components(
+        jnp.asarray(img), DetectParams().ccl_iters))
+    fg = labels[img]
+    assert (fg == fg[0]).all(), "serpentine under-merged at default iters"

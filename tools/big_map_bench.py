@@ -1,0 +1,65 @@
+"""Single-chip LARGE-MAP benchmark: the round-1 memory-wall scale.
+
+Round 1's dense (T, 3+6C, 6) coupling slab hit ~5.8 GB at 10k tags / 4k
+captures — over a v5e's HBM before the solver even ran.  The round-2
+capture-sparse layout is O(observations); this tool proves the scale on one
+chip and measures iter/s with the implicit-Schur CG (the dense reduced
+Cholesky is O((6C)^3) and is not meaningful at this capture count — ceres'
+DENSE_SCHUR would be in the same regime).
+
+Usage: python tools/big_map_bench.py [--tags 10000] [--caps 4000]
+       [--iters 12] [--solver cg]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tags", type=int, default=10000)
+    ap.add_argument("--caps", type=int, default=4000)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--solver", choices=["cg", "dense"], default="cg")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+
+    from bench import bench_lm, build_problem, log
+
+    try:
+        from ar_slam_tpu.cli import _enable_compile_cache
+
+        _enable_compile_cache()
+    except Exception:  # noqa: BLE001
+        pass
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    arrs, cap_poses, tag_poses = build_problem(args.tags, args.caps)
+    out = bench_lm(arrs, cap_poses, tag_poses, dev, n_iters=args.iters,
+                   n_lo=max(args.iters // 4, 1), linear_solver=args.solver)
+    print(json.dumps({
+        "metric": f"ba_iterations_per_s_{args.tags}tag_{args.caps}cap",
+        "value": round(out["iters_per_s"], 3),
+        "unit": "iter/s",
+        "extra": {
+            "device": str(dev),
+            "solver": args.solver,
+            "blocks": int(arrs.n_blocks),
+            "compile_s": round(out["compile_s"], 1),
+            "final_cost": out["final_cost"],
+            "iterations": out["iterations"],
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
