@@ -151,8 +151,11 @@ def connected_components(binary, iters: int):
         new = step(labels)
         return i + 1, new, jnp.any(new != labels)
 
+    # initial `changed` is data-derived (all-background is already the
+    # fixpoint) — also keeps the carry "varying" under shard_map, where a
+    # constant True would mismatch the loop output's mesh-axis type
     _, labels, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), labels0, jnp.bool_(True)))
+        cond, body, (jnp.int32(0), labels0, jnp.any(binary)))
     return labels
 
 

@@ -50,7 +50,7 @@ def build_problem(n_tags=500, n_caps=200, dtype=np.float32, seed=0):
 
 
 def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
-             n_lo=None, linear_solver="dense"):
+             n_lo=None, linear_solver="dense", profile_dir=None):
     """Marginal LM iteration rate: time the same solve at two iteration
     budgets and divide the difference — excluding the fixed per-call cost
     (dispatch round trip, initial linearization, transfers), which on the
@@ -113,6 +113,10 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         # its "compile" is just a warm dispatch
         wall_hi, it_hi, _, info = timed(n_iters)
         cost = float(info["cost"])
+        if profile_dir:
+            os.makedirs(profile_dir, exist_ok=True)
+            with jax.profiler.trace(profile_dir):
+                int(run(n_iters)["iterations"])  # sync inside the trace
     if it_hi > it_lo:
         marginal = (wall_hi - wall_lo) / (it_hi - it_lo)
     else:  # solver converged/stalled inside the low budget

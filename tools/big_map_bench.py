@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--caps", type=int, default=4000)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--solver", choices=["cg", "dense"], default="cg")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="also trace one full solve; summarize with "
+                         "tools/trace_summary.py DIR --by scope")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -45,7 +48,8 @@ def main():
     log(f"device: {dev}")
     arrs, cap_poses, tag_poses = build_problem(args.tags, args.caps)
     out = bench_lm(arrs, cap_poses, tag_poses, dev, n_iters=args.iters,
-                   n_lo=max(args.iters // 4, 1), linear_solver=args.solver)
+                   n_lo=max(args.iters // 4, 1), linear_solver=args.solver,
+                   profile_dir=args.profile)
     print(json.dumps({
         "metric": f"ba_iterations_per_s_{args.tags}tag_{args.caps}cap",
         "value": round(out["iters_per_s"], 3),

@@ -23,7 +23,14 @@ from collections import defaultdict
 
 
 def parse_trace(trace_dir: str) -> dict:
-    """Aggregate device-track event durations by detect stage scope."""
+    """Aggregate device op durations by detect stage scope.
+
+    Leaf ops live on the device pid's "XLA Ops" thread; each carries the
+    jax named_scope path in args.tf_op (e.g.
+    ``jit(detect_batch)/detect_ccl_w13/...``).  Whole-program time comes
+    from the "XLA Modules" thread (one event per dispatch) — summing leaf
+    ops would double-count while-loop iterations vs async overlap.
+    """
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -31,38 +38,57 @@ def parse_trace(trace_dir: str) -> dict:
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device tracks: pid names containing "TPU" / "/device:"
-    dev_pids = set()
+    dev_pids, op_tracks, module_tracks = set(), set(), set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
-            if "TPU" in name or "/device:" in name.lower():
-                dev_pids.add(e["pid"])
-    per_stage = defaultdict(float)
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "M":
             continue
+        name = e.get("args", {}).get("name", "")
+        if e.get("name") == "process_name" and (
+                "TPU" in name or "/device:" in name):
+            dev_pids.add(e["pid"])
+    for e in events:
+        if e.get("ph") != "M" or e.get("name") != "thread_name":
+            continue
+        if e["pid"] not in dev_pids:
+            continue
+        tname = e.get("args", {}).get("name", "")
+        if tname == "XLA Ops":
+            op_tracks.add((e["pid"], e.get("tid")))
+        elif tname == "XLA Modules":
+            module_tracks.add((e["pid"], e.get("tid")))
+    per_stage = defaultdict(float)
+    module_us, n_dispatch = 0.0, 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        key = (e.get("pid"), e.get("tid"))
         dur = float(e.get("dur", 0.0))  # microseconds
-        name = e.get("name", "")
-        args_name = e.get("args", {}).get("name", "") or e.get(
-            "args", {}).get("long_name", "")
-        blob = f"{name} {args_name}"
-        total += dur
+        if key in module_tracks:
+            module_us += dur
+            n_dispatch += 1
+            continue
+        if key not in op_tracks:
+            continue
+        tf_op = e.get("args", {}).get("tf_op", "")
+        # while.N wrapper events nest over their per-iteration leaf ops
+        # (which carry the tf_op scopes) — counting both double-counts
+        if not tf_op and e.get("name", "").startswith("while"):
+            continue
         stage = "other"
-        for key in ("detect_threshold", "detect_ccl", "detect_topk",
-                    "detect_extract", "detect_refine", "detect_decode"):
-            if key in blob:
-                stage = key.split("detect_")[1].split("_w")[0]
-                if stage.startswith("decode"):
-                    stage = "decode"
-                stage = {"threshold": "threshold", "ccl": "ccl",
-                         "topk": "topk", "extract": "extract",
-                         "refine": "refine", "decode": "decode"}.get(
-                    stage.split("_")[0], stage)
+        for part in tf_op.split("/"):
+            if part.startswith("detect_"):
+                stage = part[len("detect_"):].split("_w")[0]
+                # decode scopes are detect_decode_<dict>
+                stage = stage.split("_")[0] if stage.startswith(
+                    "decode") else stage
+                break
+            if part.startswith("vmap(detect_"):
+                stage = part[len("vmap(detect_"):].rstrip(")").split("_")[0]
                 break
         per_stage[stage] += dur
-    return {"per_stage_us": dict(per_stage), "total_us": total}
+    return {"per_stage_us": dict(per_stage),
+            "ops_total_us": sum(per_stage.values()),
+            "module_us": module_us, "n_dispatch": n_dispatch}
 
 
 def main():
@@ -112,9 +138,10 @@ def main():
           f"windows {dcfg.adaptive_thresh_win_sizes}):", file=sys.stderr)
     for k in sorted(per, key=per.get, reverse=True):
         print(f"  {k:10s} {per[k] / denom:9.1f} us/frame "
-              f"({100 * per[k] / max(stats['total_us'], 1):5.1f} %)",
+              f"({100 * per[k] / max(stats['ops_total_us'], 1):5.1f} %)",
               file=sys.stderr)
-    device_us_per_frame = stats["total_us"] / denom
+    device_us_per_frame = stats["module_us"] / max(stats["n_dispatch"], 1) \
+        / args.batch
     print(json.dumps({
         "device_us_per_frame": round(device_us_per_frame, 1),
         "device_frames_per_s": round(1e6 / device_us_per_frame, 1),
