@@ -50,7 +50,8 @@ def build_problem(n_tags=500, n_caps=200, dtype=np.float32, seed=0):
 
 
 def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
-             n_lo=None, linear_solver="dense", profile_dir=None):
+             n_lo=None, linear_solver="dense", profile_dir=None,
+             cg_tol=None, cg_iters=None):
     """Marginal LM iteration rate: time the same solve at two iteration
     budgets and divide the difference — excluding the fixed per-call cost
     (dispatch round trip, initial linearization, transfers), which on the
@@ -78,6 +79,10 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         config = LMConfig(max_iterations=n_iters, function_tolerance=0.0,
                           parameter_tolerance=0.0,
                           linear_solver=linear_solver)
+        if cg_tol is not None:
+            config = config._replace(cg_tolerance=cg_tol)
+        if cg_iters is not None:
+            config = config._replace(cg_max_iterations=cg_iters)
         # tag-grouped scatter-free assembly (the production path)
         counts = np.bincount(arrs.tag_idx[arrs.block_mask],
                              minlength=arrs.tag_poses.shape[0])

@@ -55,11 +55,16 @@ def _measure(mesh_sizes, args, label_stream=sys.stderr):
 
         out = run()
         jax.block_until_ready(out[0])  # compile
-        t0 = time.time()
-        out = run()
-        iters = int(out[3]["iterations"])
-        wall = time.time() - t0
-        ips = iters / wall
+        # best-of-reps: single timed runs on a shared box are noise-bound
+        # (observed spread on the gloo simulation: -1%..42% "overhead" from
+        # one 20-iteration sample); the max rate is the least-interfered run
+        ips = 0.0
+        for _ in range(max(getattr(args, "reps", 3), 1)):
+            t0 = time.time()
+            out = run()
+            iters = int(out[3]["iterations"])
+            wall = time.time() - t0
+            ips = max(ips, iters / wall)
         results[n] = ips
         first = mesh_sizes[0]
         eff = ips / (results[first] * n / first) if n != first else 1.0
@@ -107,7 +112,8 @@ def _multihost_parent(args):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--tags", str(args.tags), "--caps", str(args.caps),
-             "--iters", str(args.iters), "--solver", args.solver],
+             "--iters", str(args.iters), "--solver", args.solver,
+             "--reps", str(args.reps)],
             stdout=subprocess.PIPE,
             stderr=None if pid == 0 else subprocess.DEVNULL,
             text=True, env=env,
@@ -135,7 +141,8 @@ def _multihost_parent(args):
         [sys.executable, os.path.abspath(__file__),
          "--cpu-mesh", str(n), "--devices", str(n),
          "--tags", str(args.tags), "--caps", str(args.caps),
-         "--iters", str(args.iters), "--solver", args.solver],
+         "--iters", str(args.iters), "--solver", args.solver,
+         "--reps", str(args.reps)],
         capture_output=True, text=True, timeout=900, check=True,
     )
     sp = json.loads(out1.stdout.strip().splitlines()[-1])
@@ -155,6 +162,8 @@ def main():
     ap.add_argument("--tags", type=int, default=500)
     ap.add_argument("--caps", type=int, default=200)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per mesh size (best-of)")
     ap.add_argument("--solver", choices=["dense", "cg"], default="dense",
                     help="reduced-system solver: dense Cholesky "
                          "(DENSE_SCHUR) or tag-sharded implicit-Schur CG "
