@@ -126,7 +126,8 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
 
 @partial(jax.jit,
          static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode",
-                          "obs_per_tag", "obs_per_cap"))
+                          "obs_per_tag", "obs_per_cap", "row_slots",
+                          "tag_rows"))
 def solve_wave_multi(
     camera,
     cap_poses,
@@ -150,6 +151,8 @@ def solve_wave_multi(
     seed_mode: str = "hybrid",
     obs_per_tag: int | None = None,
     obs_per_cap: int | None = None,
+    row_slots: int | None = None,
+    tag_rows: int | None = None,
 ):
     """A BATCH of solver waves in one device call: the whole accumulated
     seed sequence (lax.scan) followed by at most one LM solve.  With
@@ -165,7 +168,7 @@ def solve_wave_multi(
         cam_active, cap_active, tag_active,
         aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
         enabled=lm_enabled, obs_per_tag=obs_per_tag,
-        obs_per_cap=obs_per_cap,
+        obs_per_cap=obs_per_cap, row_slots=row_slots, tag_rows=tag_rows,
     )
 
 
@@ -238,6 +241,15 @@ class _WaveRunner:
         self.obs_per_tag = obs_bucket(max_obs)
         max_obs_cap = max((len(c.blocks) for c in store.captures), default=1)
         self.obs_per_cap = obs_bucket(max_obs_cap)
+        # CG solves use the ROW-SPLIT slot packing (schur.TagRows): the
+        # budget covers the FULL store's observations (waves only activate
+        # subsets), bucketed so incremental growth re-jits boundedly
+        self.row_slots = self.tag_rows = None
+        if getattr(solver_cfg, "linear_solver", "dense") == "cg":
+            self.row_slots = 8
+            need = sum(-(-max(len(t.blocks), 1) // self.row_slots)
+                       for t in store.arucos) or 1
+            self.tag_rows = obs_bucket(need)
         # block row lookup: store block index -> device row (identity for
         # the single-device path; partition permutation for the mesh path)
         self.row_of_block = np.arange(b_pad, dtype=np.int32)
@@ -393,6 +405,8 @@ class _WaveRunner:
                 seed_mode=self.seed_mode,
                 obs_per_tag=self.obs_per_tag,
                 obs_per_cap=self.obs_per_cap,
+                row_slots=self.row_slots,
+                tag_rows=self.tag_rows,
             )
         )
         self.last_info = info

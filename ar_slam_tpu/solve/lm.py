@@ -35,6 +35,7 @@ from ar_slam_tpu.solve.schur import (
     assemble,
     assemble_grouped,
     group_blocks_by_tag,
+    group_blocks_by_tag_rows,
     schur_solve,
     schur_solve_grouped,
     schur_solve_grouped_cg,
@@ -115,7 +116,8 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 
 def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
                        n_caps, n_tags, s_max, sc_max, distortion=False,
-                       loss="trivial", loss_scale=1.0):
+                       loss="trivial", loss_scale=1.0, row_slots=None,
+                       n_rows=None):
     """Block-parallel hooks over a TAG-GROUPED (T*S) block table.
 
     The flat table regroups ONCE (one sort + small scatters, outside the LM
@@ -127,16 +129,36 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
     memory walls at 10k tags / 4k captures).  Padding cost: T*S vs B rows
     (25% on the 500-tag benchmark).
 
+    ``row_slots``/``n_rows`` (both static) switch the tag side to the
+    ROW-SPLIT layout (schur.TagRows): slots pack into ``n_rows`` rows of
+    ``row_slots`` each, a tag spanning ceil(obs/row_slots) consecutive
+    rows — ~1.1-1.25x padding instead of the (T, S_max) rectangle's
+    mean/max ratio (1.87x on the 10k-tag benchmark, multiplying every
+    relinearization, assembly and CG matvec).  CG-solver only: the dense
+    grouped elimination consumes the (T, S_max) form.
+
     Returns (lin_fn, quality_fn, group_ctx) where group_ctx =
-    (cap_idx_g, cap_gather, cap_gmask) feeds the solve functions.
+    (cap_idx_g, cap_gather, cap_gmask, rows) feeds the solve functions.
     """
-    gather, mask_g = group_blocks_by_tag(tag_idx, block_mask, n_tags, s_max)
+    if row_slots is not None:
+        max_rows = -(-s_max // row_slots)
+        gather, mask_g, rows = group_blocks_by_tag_rows(
+            tag_idx, block_mask, n_tags, row_slots, n_rows, max_rows)
+        s_used, lead = row_slots, n_rows
+        tag_idx_g = jnp.repeat(rows.row_tag, row_slots,
+                               total_repeat_length=n_rows * row_slots)
+    else:
+        gather, mask_g = group_blocks_by_tag(tag_idx, block_mask, n_tags,
+                                             s_max)
+        rows = None
+        s_used, lead = s_max, n_tags
+        tag_idx_g = jnp.repeat(
+            jnp.arange(n_tags, dtype=jnp.int32), s_max,
+            total_repeat_length=n_tags * s_max
+        )
     cap_idx_g = cap_idx[gather]
     cap_gather, cap_gmask = group_blocks_by_tag(cap_idx_g, mask_g, n_caps,
                                                 sc_max)
-    tag_idx_g = jnp.repeat(
-        jnp.arange(n_tags, dtype=jnp.int32), s_max, total_repeat_length=n_tags * s_max
-    )
     corners_g = corners[gather]
 
     def lin_fn(camera, cap_poses, tag_poses):
@@ -145,7 +167,7 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
             mask_g, aruco_size, distortion, loss, loss_scale,
         )
         eqs = assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps,
-                               n_tags, s_max)
+                               n_tags, s_used, rows=rows)
         cost = 0.5 * jnp.sum(rho)
         return eqs, cost, (r, jc, jp, jt)
 
@@ -164,7 +186,7 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
         g_dot_d = jnp.sum(jd * r)
         return new_cost, g_dot_d, jnp.sum(jd * jd)
 
-    return lin_fn, quality_fn, (cap_idx_g, cap_gather, cap_gmask)
+    return lin_fn, quality_fn, (cap_idx_g, cap_gather, cap_gmask, rows)
 
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
@@ -333,7 +355,8 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
 
 
 @partial(jax.jit, static_argnames=("aruco_size", "config", "assemble_fn",
-                                   "obs_per_tag", "obs_per_cap"))
+                                   "obs_per_tag", "obs_per_cap",
+                                   "row_slots", "tag_rows"))
 def lm_solve(
     camera,
     cap_poses,
@@ -353,6 +376,8 @@ def lm_solve(
     iter_budget=None,
     obs_per_tag: int | None = None,
     obs_per_cap: int | None = None,
+    row_slots: int | None = None,
+    tag_rows: int | None = None,
 ):
     """Run LM to convergence on the (masked, padded) problem.
 
@@ -367,19 +392,29 @@ def lm_solve(
     ``assemble_fn`` optionally overrides normal-equation assembly (the
     distributed solver passes a psum-reducing version; see
     ar_slam_tpu.parallel.dist_lm which instead wraps the full hooks).
+
+    ``row_slots``/``tag_rows`` (static; CG solver only) switch the grouped
+    layout to ROW-SPLIT packing: tag_rows rows of row_slots slots, a tag
+    spanning ceil(obs/row_slots) consecutive rows — cuts the (T, S_max)
+    rectangle's padding (see make_grouped_hooks).  Callers must size
+    tag_rows ≥ Σ_t ceil(obs_t / row_slots); ignored for the dense solver.
     """
     n_caps = cap_poses.shape[0]
     n_tags = tag_poses.shape[0]
     if obs_per_tag is not None and assemble_fn is None:
         if obs_per_cap is None:
             obs_per_cap = n_tags * obs_per_tag
+        if config.linear_solver != "cg":
+            # the dense grouped elimination consumes the (T, S_max) form
+            row_slots = tag_rows = None
         lin_fn, quality_fn, group_ctx = make_grouped_hooks(
             cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps,
             n_tags, obs_per_tag, obs_per_cap,
             distortion=config.enable_distortion,
             loss=config.loss, loss_scale=config.loss_scale,
+            row_slots=row_slots, n_rows=tag_rows,
         )
-        cap_idx_g, cap_gather, cap_gmask = group_ctx
+        cap_idx_g, cap_gather, cap_gmask, rows = group_ctx
 
         solver_state0 = None
         if config.linear_solver == "cg":
@@ -393,7 +428,7 @@ def lm_solve(
                     jacobi_scaling=config.jacobi_scaling,
                     cg_tol=config.cg_tolerance,
                     cg_iters=config.cg_max_iterations,
-                    x0=x0,
+                    x0=x0, rows=rows,
                 )
         else:
             def solve_fn(eqs, lam):

@@ -466,3 +466,61 @@ def test_huber_loss_resists_outlier():
     assert rmse_huber < 0.6, rmse_huber
     assert rmse_trivial > 1.0, rmse_trivial
     assert rmse_huber < 0.5 * rmse_trivial, (rmse_huber, rmse_trivial)
+
+
+def test_lm_row_split_cg_matches_unsplit():
+    """The ROW-SPLIT grouped layout (schur.TagRows: fixed-width slot rows,
+    a tag spanning ceil(obs/row_slots) rows) must reproduce the unsplit
+    (T, S_max) CG path bit-for-nearly-bit — same math, different packing.
+    Uses row_slots < max obs so tags genuinely split across rows."""
+    arrs, cap_poses, tag_poses = _perturbed_problem(n_tags=12, n_caps=7)
+    nT = arrs.tag_poses.shape[0]
+    counts = np.bincount(arrs.tag_idx[arrs.block_mask], minlength=nT)
+    s_max = int(counts.max())
+    assert s_max > 2, "need tags with >2 observations to exercise splitting"
+    row_slots = 2
+    tag_rows = int(np.ceil(counts / row_slots).sum()) + 3  # a little slack
+
+    def run(**kw):
+        return lm_solve(
+            jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+            jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
+            jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
+            jnp.asarray(arrs.block_mask), jnp.asarray(True),
+            jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+            aruco_size=ARUCO_SIZE,
+            config=LMConfig(max_iterations=40, linear_solver="cg"),
+            obs_per_tag=s_max, **kw)
+
+    cam0, caps0, tags0, info0 = run()
+    cam1, caps1, tags1, info1 = run(row_slots=row_slots, tag_rows=tag_rows)
+    np.testing.assert_allclose(float(info1["cost"]), float(info0["cost"]),
+                               rtol=1e-3, atol=1e-12)
+    # tolerances: same math, different packing — only summation-order
+    # noise accumulated over the 40 f64 iterations may differ
+    np.testing.assert_allclose(np.asarray(cam1), np.asarray(cam0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(caps1), np.asarray(caps0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tags1), np.asarray(tags0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_row_split_dropped_overflow_is_callers_fault_not_silent_corruption():
+    """Undersized tag_rows drops overflowing observations (documented
+    contract, like s_max in group_blocks_by_tag) — the solve still runs
+    and converges on the surviving blocks rather than corrupting memory."""
+    arrs, cap_poses, tag_poses = _perturbed_problem(n_tags=12, n_caps=7)
+    nT = arrs.tag_poses.shape[0]
+    counts = np.bincount(arrs.tag_idx[arrs.block_mask], minlength=nT)
+    s_max = int(counts.max())
+    out = lm_solve(
+        jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+        jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),
+        jnp.asarray(arrs.tag_idx), jnp.asarray(arrs.corners),
+        jnp.asarray(arrs.block_mask), jnp.asarray(True),
+        jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
+        aruco_size=ARUCO_SIZE,
+        config=LMConfig(max_iterations=10, linear_solver="cg"),
+        obs_per_tag=s_max, row_slots=2, tag_rows=4)
+    assert np.isfinite(float(out[3]["cost"]))
