@@ -53,11 +53,13 @@ from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
 from ar_slam_tpu.solve.schur import (
     CapEqs,
     GroupedEqs,
+    TagRows,
     assemble_grouped,
     backsub_tags_sparse,
     cap_scale_vectors,
     eliminate_tags_grouped,
     group_blocks_by_tag,
+    group_blocks_by_tag_rows,
     reduced_solve,
     schur_solve_grouped_cg,
 )
@@ -89,7 +91,9 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                            obs_per_tag: int = 8, obs_per_cap: int = 8,
                            loss="trivial", loss_scale=1.0,
                            linear_solver: str = "dense",
-                           cg_tol: float = 1e-2, cg_iters: int = 100):
+                           cg_tol: float = 1e-2, cg_iters: int = 100,
+                           row_slots: int | None = None,
+                           shard_rows: int | None = None):
     """Build (group_fn, lin_fn, quality_fn, solve_fn factories) for lm_core
     with tags sharded over the mesh.
 
@@ -114,8 +118,16 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
     blockspec = P(BLOCK_AXIS)
     tagspec = P(BLOCK_AXIS)
     rep = P()
-    s_max = obs_per_tag
     sc_max = obs_per_cap
+    # ROW-SPLIT layout (CG only; see solve/lm.make_grouped_hooks): each
+    # shard packs ITS tags' slots into shard_rows rows of row_slots each —
+    # the per-shard grouped table shrinks from (t_per, S_max) to
+    # ~1.2x its observation count.  shard_rows is the static PER-SHARD
+    # row budget (same on every shard; callers size it for the worst one).
+    use_rows = row_slots is not None and linear_solver == "cg"
+    s_max = row_slots if use_rows else obs_per_tag
+    max_rows = -(-obs_per_tag // row_slots) if use_rows else 1
+    group_out = (blockspec,) * (10 if use_rows else 6)
 
     def _local_tags(ti):
         return ti - jax.lax.axis_index(BLOCK_AXIS) * t_per
@@ -124,44 +136,56 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         jax.shard_map,
         mesh=mesh,
         in_specs=(blockspec, blockspec, blockspec, blockspec),
-        out_specs=(blockspec, blockspec, blockspec, blockspec, blockspec,
-                   blockspec),
+        out_specs=group_out,
     )
     def make_group(ci, ti, crn, bm):
-        """Regroup this shard's blocks by local tag into (t_per * S) slots,
-        plus the shard-local capture-grouped permutation over those slots.
-        Returns a grouped block table with GLOBAL new tag ids."""
+        """Regroup this shard's blocks by local tag into (t_per * S) slots
+        (or, row-split, (shard_rows * row_slots) slots), plus the
+        shard-local capture-grouped permutation over those slots.
+        Returns a grouped block table with GLOBAL new tag ids (+ the
+        TagRows arrays in row mode)."""
         til = _local_tags(ti)
-        gather, mask_g = group_blocks_by_tag(til, bm, t_per, s_max)
+        if use_rows:
+            gather, mask_g, rows = group_blocks_by_tag_rows(
+                til, bm, t_per, row_slots, shard_rows, max_rows)
+            til_g = jnp.repeat(rows.row_tag, row_slots,
+                               total_repeat_length=shard_rows * row_slots)
+            extra = tuple(rows)
+        else:
+            gather, mask_g = group_blocks_by_tag(til, bm, t_per, s_max)
+            til_g = jnp.repeat(jnp.arange(t_per, dtype=jnp.int32), s_max,
+                               total_repeat_length=t_per * s_max)
+            extra = ()
         ci_g = ci[gather]
         cap_gather, cap_gmask = group_blocks_by_tag(ci_g, mask_g, n_caps,
                                                     sc_max)
-        til_g = jnp.repeat(jnp.arange(t_per, dtype=jnp.int32), s_max,
-                           total_repeat_length=t_per * s_max)
         ti_g = til_g + jax.lax.axis_index(BLOCK_AXIS).astype(jnp.int32) * t_per
-        return ci_g, ti_g, crn[gather], mask_g, cap_gather, cap_gmask
+        return (ci_g, ti_g, crn[gather], mask_g, cap_gather, cap_gmask
+                ) + extra
 
     def make_lin(cap_idx, tag_idx, corners, block_mask, cap_gather,
-                 cap_gmask):
+                 cap_gmask, *row_arrs):
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(rep, rep, tagspec, blockspec, blockspec, blockspec,
-                      blockspec, blockspec, blockspec),
+                      blockspec, blockspec, blockspec)
+            + (blockspec,) * len(row_arrs),
             out_specs=(
                 (rep, (tagspec, tagspec, tagspec, tagspec)),  # eqs
                 rep,  # cost
                 (blockspec, blockspec, blockspec, blockspec),  # aux
             ),
         )
-        def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm, cg, cgm):
+        def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm, cg, cgm,
+                 *ra):
             til = _local_tags(ti)
             r, jc, jp, jt, rho = linearize(
                 camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
                 distortion, loss, loss_scale,
             )
             g = assemble_grouped(r, jc, jp, jt, cg, cgm, n_caps, t_per,
-                                 s_max)
+                                 s_max, rows=TagRows(*ra) if ra else None)
             hcc, hcp, hpp, g_c, g_p, cost = _psum_packed(
                 [g.hcc, g.hcp, g.hpp, g.g_c, g.g_p, 0.5 * jnp.sum(rho)])
             cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
@@ -170,7 +194,8 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
 
         def lin_fn(camera, cap_poses, tag_poses):
             return _lin(camera, cap_poses, tag_poses, cap_idx, tag_idx,
-                        corners, block_mask, cap_gather, cap_gmask)
+                        corners, block_mask, cap_gather, cap_gmask,
+                        *row_arrs)
 
         return lin_fn
 
@@ -212,7 +237,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         return quality_fn
 
     def make_quality_lin(cap_idx, tag_idx, corners, block_mask, cap_gather,
-                         cap_gmask):
+                         cap_gmask, *row_arrs):
         """Fused step-quality + SPECULATIVE relinearization at the proposed
         parameters: the quality scalars ride the same packed psum as the
         relinearized capture-side blocks, so an LM iteration costs TWO
@@ -227,13 +252,13 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 rep, rep, tagspec, rep, rep, tagspec,
                 blockspec, blockspec, blockspec, blockspec, blockspec,
                 blockspec,
-            ),
+            ) + (blockspec,) * len(row_arrs),
             out_specs=(rep, rep, rep,
                        (rep, (tagspec, tagspec, tagspec, tagspec)),
                        (blockspec, blockspec, blockspec, blockspec)),
         )
         def _qlin(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
-                  d_tag, ci, ti, crn, bm, cg, cgm):
+                  d_tag, ci, ti, crn, bm, cg, cgm, *ra):
             r, jc, jp, jt = aux
             til = _local_tags(ti)
             r2, jc2, jp2, jt2, rho2 = linearize(
@@ -241,7 +266,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 distortion, loss, loss_scale,
             )
             g = assemble_grouped(r2, jc2, jp2, jt2, cg, cgm, n_caps, t_per,
-                                 s_max)
+                                 s_max, rows=TagRows(*ra) if ra else None)
             jd = (
                 jnp.einsum("brc,c->br", jc, d_cam)
                 + jnp.einsum("brp,bp->br", jp, d_cap[ci])
@@ -260,12 +285,13 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                            d_cap, d_tag):
             return _qlin(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
                          d_tag, cap_idx, tag_idx, corners, block_mask,
-                         cap_gather, cap_gmask)
+                         cap_gather, cap_gmask, *row_arrs)
 
         return quality_lin_fn
 
     def make_solve(cam_active, cap_active, tag_active, grouped):
-        ci_g, _, _, _, cap_gather, cap_gmask = grouped
+        ci_g, _, _, _, cap_gather, cap_gmask = grouped[:6]
+        row_arrs = grouped[6:]
 
         if linear_solver == "cg":
             # The whole damped solve (implicit-Schur CG + back-substitution)
@@ -284,11 +310,13 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 in_specs=((rep, rep, rep, rep, rep),
                           (tagspec, tagspec, tagspec, tagspec),
                           blockspec, blockspec, blockspec,
-                          tagspec, rep, rep),
+                          tagspec, rep, rep)
+                + (blockspec,) * len(row_arrs),
                 out_specs=(rep, rep, tagspec, rep),
                 check_vma=False,
             )
-            def _cg_solve(cap_eqs, tag_side, ci, cg, cgm, tag_a, lam, x0):
+            def _cg_solve(cap_eqs, tag_side, ci, cg, cgm, tag_a, lam, x0,
+                          *ra):
                 hct, wt_s, htt, g_t = tag_side
                 eqs = GroupedEqs(cap_eqs[0], cap_eqs[1], cap_eqs[2],
                                  hct, wt_s, htt, cap_eqs[3], cap_eqs[4],
@@ -297,13 +325,14 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                     eqs, ci, cg, cgm, lam, cam_active, cap_active, tag_a,
                     jacobi_scaling=jacobi_scaling, cg_tol=cg_tol,
                     cg_iters=cg_iters, x0=x0, reduce_fn=_psum_packed,
+                    rows=TagRows(*ra) if ra else None,
                 )
                 return d_cam, d_cap, d_tag, delta_r
 
             def solve_fn(eqs, lam, x0):
                 cap_eqs, tag_side = eqs
                 return _cg_solve(tuple(cap_eqs), tag_side, ci_g, cap_gather,
-                                 cap_gmask, tag_active, lam, x0)
+                                 cap_gmask, tag_active, lam, x0, *row_arrs)
 
             return solve_fn
 
@@ -380,6 +409,17 @@ class TagShardedProblem:
         ccounts = np.bincount(cap_idx[block_mask])
         self.obs_per_cap = obs_bucket(int(ccounts.max()) if ccounts.size
                                       else 1)
+        # per-shard ROW-SPLIT budget for the CG path: rows needed by the
+        # heaviest shard (tags are renumbered into contiguous per-shard
+        # ranges, so count per new-tag and sum per range), bucketed
+        self.row_slots = 8
+        new_counts = np.bincount(
+            np.asarray(p["new_tag_idx"])[p["row_mask"]],
+            minlength=p["t_new"])
+        rows_per_tag = -(-new_counts // self.row_slots)
+        per_shard = rows_per_tag.reshape(self.n_dev, p["t_per"]).sum(axis=1)
+        self.shard_rows = obs_bucket(int(per_shard.max()) if per_shard.size
+                                     else 1)
         self.t_per = p["t_per"]
         self.t_new = p["t_new"]
         rg = p["row_gather"]
@@ -430,7 +470,7 @@ class TagShardedProblem:
 
 @lru_cache(maxsize=32)
 def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag,
-                    obs_per_cap):
+                    obs_per_cap, row_slots=None, shard_rows=None):
     """Memoized jitted distributed-LM program: repeated lm_solve_dist calls
     with the same mesh/shape/config hit the jit cache instead of
     re-tracing (axon remote compiles are 20-400 s)."""
@@ -440,7 +480,8 @@ def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag,
             config.enable_distortion, obs_per_tag, obs_per_cap,
             loss=config.loss, loss_scale=config.loss_scale,
             linear_solver=config.linear_solver, cg_tol=config.cg_tolerance,
-            cg_iters=config.cg_max_iterations,
+            cg_iters=config.cg_max_iterations, row_slots=row_slots,
+            shard_rows=shard_rows,
         )
     )
 
@@ -495,7 +536,9 @@ def lm_solve_dist(
     )
 
     run = _dist_lm_runner(mesh, prob.t_per, n_caps, aruco_size, config,
-                          prob.obs_per_tag, prob.obs_per_cap)
+                          prob.obs_per_tag, prob.obs_per_cap,
+                          row_slots=prob.row_slots,
+                          shard_rows=prob.shard_rows)
     cam, caps, tags, info = run(
         camera_r, cap_poses_r, tag_poses_s, prob.cap_idx, prob.tag_idx,
         prob.corners, bm, cam_a, cap_a, tag_active_s,
@@ -506,19 +549,21 @@ def lm_solve_dist(
 
 def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
                           seed_mode: str = "hybrid", obs_per_tag: int = 8,
-                          obs_per_cap: int = 8):
+                          obs_per_cap: int = 8, row_slots=None,
+                          shard_rows=None):
     """Jitted distributed wave solver (seeding prologue + LM) over the
     tag-sharded layout; all tag-indexed inputs/outputs use the RENUMBERED
     order (the runner owns the mapping).  Memoized so every _WaveRunner
     (one per solve/solve_incremental call) shares the jit cache — a serve
     loop must not re-trace per batch."""
     return _dist_wave_solver(mesh, aruco_size, config, seed_mode,
-                             obs_per_tag, obs_per_cap)
+                             obs_per_tag, obs_per_cap, row_slots,
+                             shard_rows)
 
 
 @lru_cache(maxsize=32)
 def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
-                      obs_per_cap):
+                      obs_per_cap, row_slots=None, shard_rows=None):
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
@@ -542,7 +587,8 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
                 loss=config.loss, loss_scale=config.loss_scale,
                 linear_solver=config.linear_solver,
                 cg_tol=config.cg_tolerance,
-                cg_iters=config.cg_max_iterations,
+                cg_iters=config.cg_max_iterations, row_slots=row_slots,
+                shard_rows=shard_rows,
             )
         )
         grouped = make_group(cap_idx, tag_idx, corners, block_mask)

@@ -284,7 +284,8 @@ class _WaveRunner:
             self._dist_wave = make_dist_wave_solver(
                 mesh, aruco_size=aruco_size, config=self.config,
                 seed_mode=self.seed_mode, obs_per_tag=prob.obs_per_tag,
-                obs_per_cap=prob.obs_per_cap,
+                obs_per_cap=prob.obs_per_cap, row_slots=prob.row_slots,
+                shard_rows=prob.shard_rows,
             )
         # host-side solver state (store-index order)
         self.active_caps: set[int] = set()
