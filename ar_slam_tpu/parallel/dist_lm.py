@@ -93,7 +93,8 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                            linear_solver: str = "dense",
                            cg_tol: float = 1e-2, cg_iters: int = 100,
                            row_slots: int | None = None,
-                           shard_rows: int | None = None):
+                           shard_rows: int | None = None,
+                           shard_cap_rows: int | None = None):
     """Build (group_fn, lin_fn, quality_fn, solve_fn factories) for lm_core
     with tags sharded over the mesh.
 
@@ -125,12 +126,21 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
     # ~1.2x its observation count.  shard_rows is the static PER-SHARD
     # row budget (same on every shard; callers size it for the worst one).
     use_rows = row_slots is not None and linear_solver == "cg"
+    use_cap_rows = use_rows and shard_cap_rows is not None
     s_max = row_slots if use_rows else obs_per_tag
     max_rows = -(-obs_per_tag // row_slots) if use_rows else 1
-    group_out = (blockspec,) * (10 if use_rows else 6)
+    max_cap_rows = -(-obs_per_cap // row_slots) if use_cap_rows else 1
+    n_extra = (4 if use_rows else 0) + (4 if use_cap_rows else 0)
+    group_out = (blockspec,) * (6 + n_extra)
 
     def _local_tags(ti):
         return ti - jax.lax.axis_index(BLOCK_AXIS) * t_per
+
+    def _split_rows(ra):
+        """(tag TagRows | None, cap TagRows | None) from the flat extras."""
+        tag_r = TagRows(*ra[:4]) if use_rows else None
+        cap_r = TagRows(*ra[4:8]) if use_cap_rows else None
+        return tag_r, cap_r
 
     @partial(
         jax.shard_map,
@@ -157,8 +167,14 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                                total_repeat_length=t_per * s_max)
             extra = ()
         ci_g = ci[gather]
-        cap_gather, cap_gmask = group_blocks_by_tag(ci_g, mask_g, n_caps,
-                                                    sc_max)
+        if use_cap_rows:
+            cap_gather, cap_gmask, cap_rows = group_blocks_by_tag_rows(
+                ci_g, mask_g, n_caps, row_slots, shard_cap_rows,
+                max_cap_rows)
+            extra = extra + tuple(cap_rows)
+        else:
+            cap_gather, cap_gmask = group_blocks_by_tag(ci_g, mask_g,
+                                                        n_caps, sc_max)
         ti_g = til_g + jax.lax.axis_index(BLOCK_AXIS).astype(jnp.int32) * t_per
         return (ci_g, ti_g, crn[gather], mask_g, cap_gather, cap_gmask
                 ) + extra
@@ -184,8 +200,9 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 camera, cap_poses, tag_poses, ci, til, crn, bm, aruco_size,
                 distortion, loss, loss_scale,
             )
+            tag_r, cap_r = _split_rows(ra)
             g = assemble_grouped(r, jc, jp, jt, cg, cgm, n_caps, t_per,
-                                 s_max, rows=TagRows(*ra) if ra else None)
+                                 s_max, rows=tag_r, cap_rows=cap_r)
             hcc, hcp, hpp, g_c, g_p, cost = _psum_packed(
                 [g.hcc, g.hcp, g.hpp, g.g_c, g.g_p, 0.5 * jnp.sum(rho)])
             cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
@@ -265,8 +282,9 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
                 distortion, loss, loss_scale,
             )
+            tag_r, cap_r = _split_rows(ra)
             g = assemble_grouped(r2, jc2, jp2, jt2, cg, cgm, n_caps, t_per,
-                                 s_max, rows=TagRows(*ra) if ra else None)
+                                 s_max, rows=tag_r, cap_rows=cap_r)
             jd = (
                 jnp.einsum("brc,c->br", jc, d_cam)
                 + jnp.einsum("brp,bp->br", jp, d_cap[ci])
@@ -321,11 +339,12 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 eqs = GroupedEqs(cap_eqs[0], cap_eqs[1], cap_eqs[2],
                                  hct, wt_s, htt, cap_eqs[3], cap_eqs[4],
                                  g_t)
+                tag_r, cap_r = _split_rows(ra)
                 d_cam, d_cap, d_tag, delta_r = schur_solve_grouped_cg(
                     eqs, ci, cg, cgm, lam, cam_active, cap_active, tag_a,
                     jacobi_scaling=jacobi_scaling, cg_tol=cg_tol,
                     cg_iters=cg_iters, x0=x0, reduce_fn=_psum_packed,
-                    rows=TagRows(*ra) if ra else None,
+                    rows=tag_r, cap_rows=cap_r,
                 )
                 return d_cam, d_cap, d_tag, delta_r
 
@@ -420,6 +439,18 @@ class TagShardedProblem:
         per_shard = rows_per_tag.reshape(self.n_dev, p["t_per"]).sum(axis=1)
         self.shard_rows = obs_bucket(int(per_shard.max()) if per_shard.size
                                      else 1)
+        # per-shard CAPTURE-row budget: each shard groups ITS slots by
+        # capture; size for the heaviest shard
+        b_shard = p["b_shard"]
+        ci_new = np.asarray(cap_idx)[p["row_gather"]]
+        worst = 1
+        for s in range(self.n_dev):
+            sl = slice(s * b_shard, (s + 1) * b_shard)
+            m = p["row_mask"][sl]
+            if m.any():
+                cc = np.bincount(ci_new[sl][m])
+                worst = max(worst, int((-(-cc // self.row_slots)).sum()))
+        self.shard_cap_rows = obs_bucket(worst)
         self.t_per = p["t_per"]
         self.t_new = p["t_new"]
         rg = p["row_gather"]
@@ -470,7 +501,8 @@ class TagShardedProblem:
 
 @lru_cache(maxsize=32)
 def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag,
-                    obs_per_cap, row_slots=None, shard_rows=None):
+                    obs_per_cap, row_slots=None, shard_rows=None,
+                    shard_cap_rows=None):
     """Memoized jitted distributed-LM program: repeated lm_solve_dist calls
     with the same mesh/shape/config hit the jit cache instead of
     re-tracing (axon remote compiles are 20-400 s)."""
@@ -481,7 +513,7 @@ def _dist_lm_runner(mesh, t_per, n_caps, aruco_size, config, obs_per_tag,
             loss=config.loss, loss_scale=config.loss_scale,
             linear_solver=config.linear_solver, cg_tol=config.cg_tolerance,
             cg_iters=config.cg_max_iterations, row_slots=row_slots,
-            shard_rows=shard_rows,
+            shard_rows=shard_rows, shard_cap_rows=shard_cap_rows,
         )
     )
 
@@ -538,7 +570,8 @@ def lm_solve_dist(
     run = _dist_lm_runner(mesh, prob.t_per, n_caps, aruco_size, config,
                           prob.obs_per_tag, prob.obs_per_cap,
                           row_slots=prob.row_slots,
-                          shard_rows=prob.shard_rows)
+                          shard_rows=prob.shard_rows,
+                          shard_cap_rows=prob.shard_cap_rows)
     cam, caps, tags, info = run(
         camera_r, cap_poses_r, tag_poses_s, prob.cap_idx, prob.tag_idx,
         prob.corners, bm, cam_a, cap_a, tag_active_s,
@@ -550,7 +583,7 @@ def lm_solve_dist(
 def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
                           seed_mode: str = "hybrid", obs_per_tag: int = 8,
                           obs_per_cap: int = 8, row_slots=None,
-                          shard_rows=None):
+                          shard_rows=None, shard_cap_rows=None):
     """Jitted distributed wave solver (seeding prologue + LM) over the
     tag-sharded layout; all tag-indexed inputs/outputs use the RENUMBERED
     order (the runner owns the mapping).  Memoized so every _WaveRunner
@@ -558,12 +591,13 @@ def make_dist_wave_solver(mesh, *, aruco_size: float, config: LMConfig,
     loop must not re-trace per batch."""
     return _dist_wave_solver(mesh, aruco_size, config, seed_mode,
                              obs_per_tag, obs_per_cap, row_slots,
-                             shard_rows)
+                             shard_rows, shard_cap_rows)
 
 
 @lru_cache(maxsize=32)
 def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
-                      obs_per_cap, row_slots=None, shard_rows=None):
+                      obs_per_cap, row_slots=None, shard_rows=None,
+                      shard_cap_rows=None):
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
@@ -588,7 +622,7 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
                 linear_solver=config.linear_solver,
                 cg_tol=config.cg_tolerance,
                 cg_iters=config.cg_max_iterations, row_slots=row_slots,
-                shard_rows=shard_rows,
+                shard_rows=shard_rows, shard_cap_rows=shard_cap_rows,
             )
         )
         grouped = make_group(cap_idx, tag_idx, corners, block_mask)

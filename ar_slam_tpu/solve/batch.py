@@ -127,7 +127,7 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
 @partial(jax.jit,
          static_argnames=("aruco_size", "config", "assemble_fn", "seed_mode",
                           "obs_per_tag", "obs_per_cap", "row_slots",
-                          "tag_rows"))
+                          "tag_rows", "cap_rows"))
 def solve_wave_multi(
     camera,
     cap_poses,
@@ -153,6 +153,7 @@ def solve_wave_multi(
     obs_per_cap: int | None = None,
     row_slots: int | None = None,
     tag_rows: int | None = None,
+    cap_rows: int | None = None,
 ):
     """A BATCH of solver waves in one device call: the whole accumulated
     seed sequence (lax.scan) followed by at most one LM solve.  With
@@ -169,6 +170,7 @@ def solve_wave_multi(
         aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
         enabled=lm_enabled, obs_per_tag=obs_per_tag,
         obs_per_cap=obs_per_cap, row_slots=row_slots, tag_rows=tag_rows,
+        cap_rows=cap_rows,
     )
 
 
@@ -244,12 +246,15 @@ class _WaveRunner:
         # CG solves use the ROW-SPLIT slot packing (schur.TagRows): the
         # budget covers the FULL store's observations (waves only activate
         # subsets), bucketed so incremental growth re-jits boundedly
-        self.row_slots = self.tag_rows = None
+        self.row_slots = self.tag_rows = self.cap_rows = None
         if getattr(solver_cfg, "linear_solver", "dense") == "cg":
             self.row_slots = 8
             need = sum(-(-max(len(t.blocks), 1) // self.row_slots)
                        for t in store.arucos) or 1
             self.tag_rows = obs_bucket(need)
+            need_c = sum(-(-max(len(c.blocks), 1) // self.row_slots)
+                         for c in store.captures) or 1
+            self.cap_rows = obs_bucket(need_c)
         # block row lookup: store block index -> device row (identity for
         # the single-device path; partition permutation for the mesh path)
         self.row_of_block = np.arange(b_pad, dtype=np.int32)
@@ -286,6 +291,7 @@ class _WaveRunner:
                 seed_mode=self.seed_mode, obs_per_tag=prob.obs_per_tag,
                 obs_per_cap=prob.obs_per_cap, row_slots=prob.row_slots,
                 shard_rows=prob.shard_rows,
+                shard_cap_rows=prob.shard_cap_rows,
             )
         # host-side solver state (store-index order)
         self.active_caps: set[int] = set()
@@ -408,6 +414,7 @@ class _WaveRunner:
                 obs_per_cap=self.obs_per_cap,
                 row_slots=self.row_slots,
                 tag_rows=self.tag_rows,
+                cap_rows=self.cap_rows,
             )
         )
         self.last_info = info

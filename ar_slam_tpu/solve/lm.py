@@ -117,7 +117,7 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
                        n_caps, n_tags, s_max, sc_max, distortion=False,
                        loss="trivial", loss_scale=1.0, row_slots=None,
-                       n_rows=None):
+                       n_rows=None, n_cap_rows=None):
     """Block-parallel hooks over a TAG-GROUPED (T*S) block table.
 
     The flat table regroups ONCE (one sort + small scatters, outside the LM
@@ -157,8 +157,14 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
             total_repeat_length=n_tags * s_max
         )
     cap_idx_g = cap_idx[gather]
-    cap_gather, cap_gmask = group_blocks_by_tag(cap_idx_g, mask_g, n_caps,
-                                                sc_max)
+    if row_slots is not None and n_cap_rows is not None:
+        max_cap_rows = -(-sc_max // row_slots)
+        cap_gather, cap_gmask, cap_rows = group_blocks_by_tag_rows(
+            cap_idx_g, mask_g, n_caps, row_slots, n_cap_rows, max_cap_rows)
+    else:
+        cap_gather, cap_gmask = group_blocks_by_tag(cap_idx_g, mask_g,
+                                                    n_caps, sc_max)
+        cap_rows = None
     corners_g = corners[gather]
 
     def lin_fn(camera, cap_poses, tag_poses):
@@ -167,7 +173,7 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
             mask_g, aruco_size, distortion, loss, loss_scale,
         )
         eqs = assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps,
-                               n_tags, s_used, rows=rows)
+                               n_tags, s_used, rows=rows, cap_rows=cap_rows)
         cost = 0.5 * jnp.sum(rho)
         return eqs, cost, (r, jc, jp, jt)
 
@@ -186,7 +192,8 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
         g_dot_d = jnp.sum(jd * r)
         return new_cost, g_dot_d, jnp.sum(jd * jd)
 
-    return lin_fn, quality_fn, (cap_idx_g, cap_gather, cap_gmask, rows)
+    return lin_fn, quality_fn, (cap_idx_g, cap_gather, cap_gmask, rows,
+                                cap_rows)
 
 
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
@@ -356,7 +363,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
 
 @partial(jax.jit, static_argnames=("aruco_size", "config", "assemble_fn",
                                    "obs_per_tag", "obs_per_cap",
-                                   "row_slots", "tag_rows"))
+                                   "row_slots", "tag_rows", "cap_rows"))
 def lm_solve(
     camera,
     cap_poses,
@@ -378,6 +385,7 @@ def lm_solve(
     obs_per_cap: int | None = None,
     row_slots: int | None = None,
     tag_rows: int | None = None,
+    cap_rows: int | None = None,
 ):
     """Run LM to convergence on the (masked, padded) problem.
 
@@ -406,15 +414,15 @@ def lm_solve(
             obs_per_cap = n_tags * obs_per_tag
         if config.linear_solver != "cg":
             # the dense grouped elimination consumes the (T, S_max) form
-            row_slots = tag_rows = None
+            row_slots = tag_rows = cap_rows = None
         lin_fn, quality_fn, group_ctx = make_grouped_hooks(
             cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps,
             n_tags, obs_per_tag, obs_per_cap,
             distortion=config.enable_distortion,
             loss=config.loss, loss_scale=config.loss_scale,
-            row_slots=row_slots, n_rows=tag_rows,
+            row_slots=row_slots, n_rows=tag_rows, n_cap_rows=cap_rows,
         )
-        cap_idx_g, cap_gather, cap_gmask, rows = group_ctx
+        cap_idx_g, cap_gather, cap_gmask, rows, cap_rows_ctx = group_ctx
 
         solver_state0 = None
         if config.linear_solver == "cg":
@@ -428,7 +436,7 @@ def lm_solve(
                     jacobi_scaling=config.jacobi_scaling,
                     cg_tol=config.cg_tolerance,
                     cg_iters=config.cg_max_iterations,
-                    x0=x0, rows=rows,
+                    x0=x0, rows=rows, cap_rows=cap_rows_ctx,
                 )
         else:
             def solve_fn(eqs, lam):

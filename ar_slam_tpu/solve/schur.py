@@ -29,6 +29,61 @@ import jax.numpy as jnp
 from jax.ops import segment_sum
 
 
+def spd_inv(a, n: int):
+    """Batched (..., n, n) SPD inverse via fully UNROLLED Cholesky →
+    triangular inverse → L⁻ᵀL⁻¹.  The damped 6×6 tag blocks and the
+    SCHUR_JACOBI preconditioner blocks are inverted every LM iteration;
+    ``jnp.linalg.inv`` lowers to a LAPACK-style LU custom call that cost
+    ~21 ms/iteration at 10k tags on a v5e — the unrolled form is plain
+    VPU elementwise code XLA fuses to a handful of kernels.  Inputs must
+    be SPD-intended (ours are Jacobi-scaled + λ-damped, inactive slots
+    pinned to identity) but may be MARGINALLY indefinite in f32 (the
+    SCHUR_JACOBI blocks are a near-cancelling hpp − dg_p; at 10k-tag
+    scale some blocks lose definiteness to rounding).  MODIFIED Cholesky:
+    every pivot is floored at 1e-6× the block's LARGEST diagonal entry,
+    so even a fully collapsed pivot yields an inverse bounded by ~1e6/σ
+    relative to the block's scale (an absolute 1e-30 floor produced
+    ~1e15-scale garbage inverses that made LM reject every step at 10k
+    tags; LU-with-pivoting degraded gracefully — this floor restores
+    that behavior at Cholesky cost)."""
+    diag_max = a[..., 0, 0]
+    for i in range(1, n):
+        diag_max = jnp.maximum(diag_max, a[..., i, i])
+    floor = 1e-6 * jnp.abs(diag_max) + 1e-30
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        floor_i = floor
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, floor_i))
+            else:
+                L[i][j] = s / L[j][j]
+    linv = [[None] * n for _ in range(n)]
+    for j in range(n):
+        for i in range(j, n):
+            if i == j:
+                linv[i][j] = 1.0 / L[i][i]
+            else:
+                s = L[i][j] * linv[j][j]
+                for k in range(j + 1, i):
+                    s = s + L[i][k] * linv[k][j]
+                linv[i][j] = -s / L[i][i]
+    rows = []
+    for i in range(n):
+        cols = []
+        for j in range(n):
+            s = None
+            for k in range(max(i, j), n):
+                term = linv[k][i] * linv[k][j]
+                s = term if s is None else s + term
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 class NormalEqs(NamedTuple):
     """Assembled blocks of J^T J and J^T r, pre-damping/scaling."""
 
@@ -84,8 +139,11 @@ def assemble_tag_side(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags):
     hpt = jnp.zeros((6 * n_caps, 6 * n_tags), dtype=jc.dtype)
     hpt = hpt.at[jnp.broadcast_to(rows, hpt_b.shape),
                  jnp.broadcast_to(cols, hpt_b.shape)].add(hpt_b)
-    htt = segment_sum(jnp.einsum("bri,brj->bij", jt, jt), tag_idx,
-                      num_segments=n_tags)
+    # HIGHEST: htt gets damped + inverted; bf16 product noise can exceed
+    # the damping and flip blocks indefinite (see assemble_grouped)
+    htt = segment_sum(jnp.einsum("bri,brj->bij", jt, jt,
+                                 precision=jax.lax.Precision.HIGHEST),
+                      tag_idx, num_segments=n_tags)
     g_t = segment_sum(jnp.einsum("bri,br->bi", jt, r), tag_idx,
                       num_segments=n_tags)
     return hct, hpt, htt, g_t
@@ -238,7 +296,8 @@ def tags_to_rows(x_tags, rows: TagRows):
 
 def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
                      n_tags: int, s_max: int,
-                     rows: TagRows | None = None) -> GroupedEqs:
+                     rows: TagRows | None = None,
+                     cap_rows: TagRows | None = None) -> GroupedEqs:
     """Assemble normal equations from a TAG-GROUPED block table — zero
     segment ops, zero scatters, zero one-hot expansions in the hot path.
 
@@ -258,16 +317,20 @@ def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
     dense reduced solve expands a transient one; CG never does).
     """
     dtype = r.dtype
-    sc = cap_gather.shape[0] // n_caps
+    lead_c = n_caps if cap_rows is None else cap_rows.row_tag.shape[0]
+    sc = cap_gather.shape[0] // lead_c
     mc = cap_gmask.astype(dtype)
 
     def to_caps(per_block, trailing):
-        """Gather per-block values into capture order and reshape-sum.
-        Padding gather slots read row 0 of a REAL block, so they must
-        be masked before the sum."""
+        """Gather per-block values into capture order and reshape-sum
+        (per capture, or per capture-ROW then rows→captures — the
+        capture table row-splits exactly like the tag table).  Padding
+        gather slots read row 0 of a REAL block, so they must be masked
+        before the sum."""
         g = per_block[cap_gather] * mc.reshape(
             (-1,) + (1,) * len(trailing))
-        return g.reshape((n_caps, sc) + trailing).sum(axis=1)
+        per = g.reshape((lead_c, sc) + trailing).sum(axis=1)
+        return per if cap_rows is None else rows_to_tags(per, cap_rows)
 
     hcc = jnp.einsum("bri,brj->ij", jc, jc)
     g_c = jnp.einsum("bri,br->i", jc, r)
@@ -281,7 +344,15 @@ def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
     lead = r.shape[0] // s_max
     hct = jnp.einsum("bri,brj->bij", jc, jt).reshape(
         lead, s_max, 3, 6).sum(axis=1)
-    htt = jnp.einsum("bri,brj->bij", jt, jt).reshape(
+    # htt is the block that gets INVERTED (damped V): TPU's default bf16
+    # matmul precision leaves ~1e-2 product noise, which exceeds the 1e-4
+    # LM damping and turned ~700 of the 10k-tag benchmark's blocks
+    # indefinite — the Cholesky inverse then broke elimination consistency
+    # and every LM step was rejected.  HIGHEST keeps the Gram products
+    # f32-accurate so damping guarantees PD.  (The other products only
+    # perturb the implicit S mildly and stay at default precision.)
+    htt = jnp.einsum("bri,brj->bij", jt, jt,
+                     precision=jax.lax.Precision.HIGHEST).reshape(
         lead, s_max, 6, 6).sum(axis=1)
     g_t = jnp.einsum("bri,br->bi", jt, r).reshape(
         lead, s_max, 6).sum(axis=1)
@@ -327,7 +398,7 @@ def _scale_and_damp_tags(hct, wt_s, slot_cap, htt, g_t, s_c, s_p, tag_active,
     htt = htt + lam * dd_t[:, :, None] * eye6
     htt = jnp.where(tag_m[:, None, None] > 0, htt, eye6)
 
-    v_inv = jnp.linalg.inv(htt)  # (t, 6, 6), batched
+    v_inv = spd_inv(htt, 6)  # (t, 6, 6), batched
     return hct_s, wt_ss, v_inv, g_t, s_t
 
 
@@ -370,14 +441,19 @@ def eliminate_tags_grouped(hct, wt_s, slot_cap, htt, g_t, s_c, s_p,
     return wvw, wvg, (v_inv, hct_s, wt_ss, g_t, s_t)
 
 
-def _cap_scatter(per_slot, cap_gather, cap_gmask, n_caps: int):
+def _cap_scatter(per_slot, cap_gather, cap_gmask, n_caps: int,
+                 cap_rows: TagRows | None = None):
     """Sum per-slot values (T*S, ...) into their captures (C, ...) via the
-    capture-grouped permutation — the scatter-free W·z reduction."""
-    sc = cap_gather.shape[0] // n_caps
+    capture-grouped permutation — the scatter-free W·z reduction.  With
+    ``cap_rows`` the permutation is capture-ROW-split (smaller gather,
+    ~1.1x padding) and the per-row sums gather-reduce to captures."""
+    lead_c = n_caps if cap_rows is None else cap_rows.row_tag.shape[0]
+    sc = cap_gather.shape[0] // lead_c
     trailing = per_slot.shape[1:]
     mc = cap_gmask.astype(per_slot.dtype)
     g = per_slot[cap_gather] * mc.reshape((-1,) + (1,) * len(trailing))
-    return g.reshape((n_caps, sc) + trailing).sum(axis=1)
+    per = g.reshape((lead_c, sc) + trailing).sum(axis=1)
+    return per if cap_rows is None else rows_to_tags(per, cap_rows)
 
 
 def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
@@ -386,7 +462,8 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
                            min_diag: float = 1e-6, max_diag: float = 1e32,
                            cg_tol: float = 1e-2, cg_iters: int = 100,
                            x0=None, reduce_fn=None,
-                           rows: TagRows | None = None):
+                           rows: TagRows | None = None,
+                           cap_rows: TagRows | None = None):
     """ITERATIVE_SCHUR analogue: preconditioned CG on the reduced camera
     system with an IMPLICIT, CAPTURE-SPARSE Schur complement.
 
@@ -464,7 +541,8 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
         z_slot = jnp.repeat(per_row_of_tag(z), s_max, axis=0,
                             total_repeat_length=lead * s_max)
         per_slot = jnp.einsum("bik,bk->bi", wt_flat, z_slot)  # (lead*S, 6)
-        return out_c, _cap_scatter(per_slot, cap_gather, cap_gmask, c)
+        return out_c, _cap_scatter(per_slot, cap_gather, cap_gmask, c,
+                                   cap_rows)
 
     def s_mv(v):
         vm = v * m_r
@@ -489,7 +567,7 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
     v_inv_slot = jnp.repeat(per_row_of_tag(v_inv), s_max, axis=0,
                             total_repeat_length=lead * s_max)
     dg_slot = jnp.einsum("bik,bkl,bjl->bij", wt_flat, v_inv_slot, wt_flat)
-    dg_p = _cap_scatter(dg_slot, cap_gather, cap_gmask, c)
+    dg_p = _cap_scatter(dg_slot, cap_gather, cap_gmask, c, cap_rows)
     wvg_c, wvg_p, dg_c, dg_p = reduce_fn([wvg_c, wvg_p, dg_c, dg_p])
 
     g_r = jnp.concatenate([g_c, g_p.reshape(-1)])
@@ -499,6 +577,14 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
     pc_c = pc_c * cam_m + jnp.eye(3, dtype=dtype) * (1.0 - cam_m)
     pc_p = hpp - dg_p
     pc_p = jnp.where(cap_m[:, None, None] > 0, pc_p, eye6)
+    # LU (not spd_inv) for the preconditioner: pc = hpp − dg is assembled
+    # from bf16-precision MXU products, and at 10k-tag scale the
+    # cancellation leaves some blocks STRONGLY indefinite — the Cholesky
+    # PSD projection then distorts CG so badly that every LM step is
+    # rejected (measured: initial cost never moved), while the true
+    # (indefinite) LU inverse keeps CG-with-cap effective.  Runs once per
+    # solve over C blocks (~0.5 ms/iteration) vs the T-block v_inv where
+    # spd_inv's PD premise holds (htt is HIGHEST-assembled + damped).
     pc_c_inv = jnp.linalg.inv(pc_c)
     pc_p_inv = jnp.linalg.inv(pc_p)
 
@@ -611,7 +697,7 @@ def eliminate_tags(hct, hpt, htt, g_t, s_c, s_p, tag_active, lam,
     # Inactive tags get the identity so the batched inverse stays sane.
     htt = jnp.where(tag_m[:, None, None] > 0, htt, eye6)
 
-    v_inv = jnp.linalg.inv(htt)  # (t, 6, 6), batched
+    v_inv = spd_inv(htt, 6)  # (t, 6, 6), batched
 
     # W: [Nr, 6t] coupling of (cam, caps) to this shard's tags
     w_cam = hct.transpose(1, 0, 2).reshape(3, 6 * t)

@@ -93,11 +93,13 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         # CG path: row-split slot packing (ROW_SLOTS-wide rows, a tag
         # spanning several rows) — ~1.2x padding instead of the (T, S_max)
         # rectangle's mean/max ratio
-        row_slots = tag_rows = None
+        row_slots = tag_rows = cap_rows = None
         if linear_solver == "cg":
             row_slots = 8
             need = int(np.ceil(counts / row_slots).sum())
             tag_rows = -(-need // 256) * 256
+            need_c = int(np.ceil(ccounts / row_slots).sum())
+            cap_rows = -(-need_c // 256) * 256
 
         def run(n):
             # traced iteration budget: ONE compiled program serves both
@@ -107,7 +109,7 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
                 aruco_size=0.0635, config=config,
                 iter_budget=jnp.asarray(n, jnp.int32),
                 obs_per_tag=obs_per_tag, obs_per_cap=obs_per_cap,
-                row_slots=row_slots, tag_rows=tag_rows,
+                row_slots=row_slots, tag_rows=tag_rows, cap_rows=cap_rows,
             )
             return info
 
