@@ -93,8 +93,15 @@ def cmd_gen(args) -> int:
 def cmd_detect(args) -> int:
     from ar_slam_tpu.pipeline.engine import ArSlamEngine
 
+    mesh = None
+    n_dev = getattr(args, "devices", None)
+    if n_dev and n_dev > 1:
+        from ar_slam_tpu.parallel.detect import image_mesh
+
+        mesh = image_mesh(n_dev)
     engine = ArSlamEngine(config=_config(args),
-                          use_tpu_detector=not args.cpu_detector)
+                          use_tpu_detector=not args.cpu_detector,
+                          detect_mesh=mesh)
     for uid, dets, size, _path in engine.detect_images(args.inputs):
         print(json.dumps({
             "uid": uid,
@@ -574,7 +581,7 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("detect", help="detect markers, print JSON")
     sp.add_argument("inputs", nargs="+")
-    common(sp)
+    common(sp)  # --devices = shard the image batch (data-parallel detect)
     sp.set_defaults(fn=cmd_detect)
 
     sp = sub.add_parser("serve", help="incremental mapping loop")

@@ -52,13 +52,17 @@ class ArSlamEngine:
     """Incremental mapping engine with a device-batched detection front end."""
 
     def __init__(self, config: ArSlamConfig | None = None,
-                 use_tpu_detector: bool = True):
+                 use_tpu_detector: bool = True, detect_mesh=None):
         from ar_slam_tpu.utils.metrics import Metrics
 
         self.config = config or ArSlamConfig()
         self.store = MapStore(initial_focal=self.config.camera.initial_focal)
         self.ingest = ImageIngest()
         self.use_tpu_detector = use_tpu_detector
+        # optional 1-D jax Mesh: data-parallel detection over the image
+        # axis (parallel/detect.detect_batch_sharded — detection is
+        # embarrassingly data-parallel, zero collectives)
+        self.detect_mesh = detect_mesh
         self.metrics = Metrics()
         self.event_log = None
         if self.config.pipeline.event_log_path:
@@ -189,8 +193,15 @@ class ArSlamEngine:
                 pad = np.zeros((n_pad - n, *images.shape[1:]),
                                dtype=images.dtype)
                 images = np.concatenate([images, pad])
-            out = detect_batch(jnp.asarray(images), params=params,
-                               dict_names=dict_names)
+            if self.detect_mesh is not None:
+                from ar_slam_tpu.parallel.detect import detect_batch_sharded
+
+                out = detect_batch_sharded(
+                    jnp.asarray(images), mesh=self.detect_mesh,
+                    params=params, dict_names=dict_names)
+            else:
+                out = detect_batch(jnp.asarray(images), params=params,
+                                   dict_names=dict_names)
             for name in dict_names:
                 ids = np.asarray(out[name]["ids"])
                 corners = np.asarray(out[name]["corners"])
