@@ -50,8 +50,10 @@ class SolverConfig:
     # ar_slam_util.cpp:1011) or "cg" — implicit-Schur preconditioned CG
     # (≙ ITERATIVE_SCHUR + SCHUR_JACOBI; wins at large capture counts).
     linear_solver: str = "dense"
-    cg_tolerance: float = 1e-2
-    cg_max_iterations: int = 100
+    # measured sweet spot (see solve/lm.LMConfig): loose steps + trust
+    # region beat tight CG at every benchmarked scale
+    cg_tolerance: float = 0.3
+    cg_max_iterations: int = 25
     # robust loss: "trivial" ≙ the reference's nullptr loss function
     # (ar_slam_util.cpp:832-836); "huber" downweights outlier observations
     # (loss_scale = Huber delta, pixels of block residual norm)

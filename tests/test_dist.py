@@ -259,7 +259,7 @@ def test_dist_iterative_schur_matches_dense(problem):
 
     def run(solver):
         config = LMConfig(max_iterations=30, linear_solver=solver,
-                          cg_tolerance=1e-10)
+                          cg_tolerance=1e-10, cg_max_iterations=200)
         return lm_solve_dist(
             mesh, arrs.camera, cap_poses, tag_poses, arrs.cap_idx,
             arrs.tag_idx, arrs.corners, arrs.block_mask, np.asarray(True),
@@ -288,7 +288,7 @@ def test_dist_cg_matches_single_device_cg(problem):
     sc_max = int(np.bincount(
         arrs.cap_idx[arrs.block_mask], minlength=nC).max())
     config = LMConfig(max_iterations=10, linear_solver="cg",
-                      cg_tolerance=1e-10)
+                      cg_tolerance=1e-10, cg_max_iterations=200)
     cam1, caps1, tags1, info1 = lm_solve(
         jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
         jnp.asarray(tag_poses), jnp.asarray(arrs.cap_idx),

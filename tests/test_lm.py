@@ -489,7 +489,8 @@ def test_lm_row_split_cg_matches_unsplit():
             jnp.asarray(arrs.block_mask), jnp.asarray(True),
             jnp.asarray(arrs.cap_mask), jnp.asarray(arrs.tag_mask),
             aruco_size=ARUCO_SIZE,
-            config=LMConfig(max_iterations=40, linear_solver="cg"),
+            config=LMConfig(max_iterations=40, linear_solver="cg",
+                            cg_tolerance=1e-10, cg_max_iterations=100),
             obs_per_tag=s_max, **kw)
 
     cam0, caps0, tags0, info0 = run()
