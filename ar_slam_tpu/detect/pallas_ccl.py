@@ -165,3 +165,247 @@ def connected_components_pallas(binary, iters: int = 8,
     """Single-image convenience wrapper around the batched kernel."""
     return connected_components_pallas_batch(binary[None], iters=iters,
                                              interpret=interpret)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-image CCL: the entire fixpoint loop inside one kernel.
+#
+# The strip kernels above still pay ~6 full-image HBM transits per CCL round
+# (pool read/write + two scan read/writes), and the XLA while_loop wrapping
+# them is batch-global: every image in the batch pays the slowest image's
+# round count.  For images whose int32 label plane fits in VMEM (~3 MB for
+# 768x1024; VMEM is ~16 MB/core) this kernel keeps the plane resident in a
+# VMEM scratch buffer and runs pool + row scan + col scan IN PLACE until
+# that image's own fixpoint: HBM traffic collapses to one binary read + one
+# label write per image, and each grid step (= image) exits as soon as it
+# converges.  In-place (Gauss-Seidel) updates are safe because labels only
+# ever decrease toward the per-component minimum — mixing old and updated
+# neighbor values stays an upper bound of the fixpoint and converges at
+# least as fast as the Jacobi (ping-pong) form.
+# ---------------------------------------------------------------------------
+
+# row padding above/below the image inside the scratch plane (sublane-aligned
+# halo for the 3x3 pool; the pad rows stay BIG = background forever)
+_PAD = 8
+
+# largest padded label plane (pixels) run by the fused kernel.  VMEM budget:
+# int8 binary in-block (x2 pipelined) + int32 label out-block (x2) + the
+# (H+16, W) int32 scratch + strip temporaries ≈ 14 bytes/pixel.
+FUSED_CCL_PIXEL_LIMIT = 1_000_000
+
+
+def _ccl_fused_kernel(b_ref, o_ref, a_ref, drow_ref, dcol_ref, dnext_ref,
+                      any_ref, *, iters, strip, cstrip):
+    """b_ref (1, H, W) int8 binary; o_ref (1, H, W) int32 labels;
+    a_ref (H + 2*_PAD, W) int32 scratch; drow/dcol/dnext/any: SMEM int32
+    dirty flags.
+
+    Dirty-strip tracking: after the first round, label changes localize
+    around unresolved "bends" of components, so most strips are already at
+    their fixpoint.  Each round processes only row strips flagged dirty by
+    the previous round (a change in strip s dirties s-1..s+1 — the 3x3
+    pool's halo) and only the column strips whose lanes the row stage
+    actually changed; everything else is skipped via pl.when.  Late rounds
+    touch 1-3 strips instead of all of them."""
+    hp, w = a_ref.shape
+    h = hp - 2 * _PAD
+    big_pad = jnp.full((_PAD, w), BIG, jnp.int32)
+    a_ref[0:_PAD, :] = big_pad
+    a_ref[_PAD + h:, :] = big_pad
+    fg = b_ref[0] != 0
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    a_ref[_PAD:_PAD + h, :] = jnp.where(fg, y * w + x, BIG)
+
+    n_rs = h // strip
+    n_cs = w // cstrip
+
+    def init_flags(_, __):
+        def seti(i, _):
+            drow_ref[i] = jnp.int32(1)
+            dnext_ref[i] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_rs, seti, 0)
+
+        def setc(c, _):
+            dcol_ref[c] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_cs, setc, 0)
+        return 0
+
+    init_flags(0, 0)
+
+    def mark_dirty(s):
+        """Flag strips s-1..s+1 for the next round."""
+        lo = jnp.maximum(s - 1, 0)
+        hi = jnp.minimum(s + 1, n_rs - 1)
+
+        def seti(i, _):
+            dnext_ref[i] = jnp.int32(1)
+            return 0
+
+        jax.lax.fori_loop(lo, hi + 1, seti, 0)
+        any_ref[0] = jnp.int32(1)
+
+    def row_stage():
+        """3x3 min-pool + full row segmented scan over DIRTY strips, in
+        place (later strips see already-updated rows above — monotone)."""
+
+        def body(s, _):
+            # mark_dirty already dilates to s-1..s+1, so drow[s] suffices
+            @pl.when(drow_ref[s] > 0)
+            def _process():
+                r0 = _PAD + s * strip
+                tile = a_ref[pl.ds(r0 - _PAD, strip + 2 * _PAD), :]
+                # vertical min via sublane shifts of the ALIGNED tile, then
+                # an aligned slice: offset-misaligned slices (tile[7:...])
+                # feeding lane shifts hit a Mosaic concat-layout limitation
+                vert = jnp.minimum(
+                    jnp.minimum(_shift(tile, 1, 0, BIG),
+                                _shift(tile, -1, 0, BIG)),
+                    tile,
+                )
+                mid = tile[_PAD:_PAD + strip, :]
+                m = vert[_PAD:_PAD + strip, :]
+                m = jnp.minimum(
+                    jnp.minimum(_shift(m, 1, 1, BIG), _shift(m, -1, 1, BIG)),
+                    m,
+                )
+                lab = jnp.where(mid < BIG, m, BIG)
+                lab = _run_min_scan(lab, axis=1)
+                diff = lab != mid
+
+                # per-col-strip change flags via STATIC slices (one pass
+                # over diff total; a fori+masked-reduce version re-read
+                # the strip n_cs times and cost more than it saved)
+                gflags = [jnp.any(diff[:, g * cstrip:(g + 1) * cstrip])
+                          for g in range(n_cs)]
+                changed = gflags[0]
+                for g in range(1, n_cs):
+                    changed = changed | gflags[g]
+
+                @pl.when(changed)
+                def _changed():
+                    mark_dirty(s)
+
+                for g in range(n_cs):
+                    @pl.when(gflags[g])
+                    def _(g=g):
+                        dcol_ref[g] = jnp.int32(1)
+
+                a_ref[pl.ds(r0, strip), :] = lab
+
+            return 0
+
+        jax.lax.fori_loop(0, n_rs, body, 0)
+
+    def col_stage():
+        """Full column segmented scan over FLAGGED col strips, in place.
+        Pad rows are BIG (background), so scans reset at image borders."""
+
+        def body(c, _):
+            @pl.when(dcol_ref[c] > 0)
+            def _process():
+                tile = a_ref[:, pl.ds(c * cstrip, cstrip)]
+                out = _run_min_scan(tile, axis=0)
+                diff = out != tile
+                a_ref[:, pl.ds(c * cstrip, cstrip)] = out
+
+                # per row-strip bands (STATIC slices — one pass): a col
+                # change in band b dirties the row stage (and pool halo)
+                # at b-1..b+1 next round
+                for b in range(n_rs):
+                    bdiff = jnp.any(
+                        diff[_PAD + b * strip:_PAD + (b + 1) * strip, :])
+
+                    @pl.when(bdiff)
+                    def _(b=b):
+                        mark_dirty(b)
+
+            dcol_ref[c] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_cs, body, 0)
+
+    def cond(state):
+        i, changed = state
+        return (i < iters) & (changed > 0)
+
+    def body(state):
+        i, _ = state
+        any_ref[0] = jnp.int32(0)
+        row_stage()
+        col_stage()
+
+        # dnext -> drow; clear dnext
+        def roll(s, _):
+            drow_ref[s] = dnext_ref[s]
+            dnext_ref[s] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_rs, roll, 0)
+        return i + 1, any_ref[0]
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+    o_ref[0] = a_ref[_PAD:_PAD + h, :]
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def connected_components_fused_batch(binary, iters: int = 24,
+                                     interpret: bool = False):
+    """Whole-image-resident CCL: same contract as
+    connected_components_pallas_batch (labels = min linear index of the
+    8-connected component, BIG for background) but the full fixpoint loop
+    runs inside the kernel with a per-image early exit.
+
+    Callers should fall back to the strip kernels when the padded plane
+    exceeds FUSED_CCL_PIXEL_LIMIT pixels.
+    """
+    n, h, w = binary.shape
+    w_pad = -(-w // 128) * 128
+    # strip 64 keeps the row-stage scan temporaries (val/reach/shift copies
+    # on (strip, W)) small enough to fit beside the resident plane: the
+    # full VMEM budget is in-block (int8, x2 pipelined) + out-block (int32,
+    # x2) + the (H+16, W) scratch + temporaries ≲ 15 MB for 768x1024
+    if h > 64:
+        h_pad = -(-h // 64) * 64
+        strip = 64
+    else:
+        h_pad = -(-h // 8) * 8
+        strip = h_pad
+    fg = jnp.zeros((n, h_pad, w_pad), jnp.int8)
+    fg = fg.at[:, :h, :w].set(binary.astype(jnp.int8))
+
+    n_rs = max(h_pad // strip, 1)
+    n_cs = max(w_pad // 128, 1)
+    out = pl.pallas_call(
+        functools.partial(_ccl_fused_kernel, iters=iters, strip=strip,
+                          cstrip=128),
+        out_shape=jax.ShapeDtypeStruct((n, h_pad, w_pad), jnp.int32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_pad + 2 * _PAD, w_pad), jnp.int32),
+            pltpu.SMEM((n_rs,), jnp.int32),   # drow
+            pltpu.SMEM((n_cs,), jnp.int32),   # dcol
+            pltpu.SMEM((n_rs,), jnp.int32),   # dnext
+            pltpu.SMEM((1,), jnp.int32),      # any-change
+        ],
+        # the resident plane + pipelined in/out blocks + strip temporaries
+        # sit just above Mosaic's default 16M scoped-vmem cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(fg)
+
+    # remap padded-width linear indices to true-width ids
+    labels = out[:, :h, :w]
+    safe = jnp.where(labels == BIG, 0, labels)
+    remapped = (safe // w_pad) * w + jnp.minimum(safe % w_pad, w - 1)
+    return jnp.where(labels == BIG, jnp.int32(2**30),
+                     remapped.astype(jnp.int32))

@@ -145,7 +145,7 @@ def homography_unit_square(quad: np.ndarray) -> np.ndarray:
 
 def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
                 border_bits: int = 1, sub: int = 3,
-                min_otsu_std: float = 5.0):
+                min_otsu_std: float = 5.0, cell_margin: float = 0.13):
     """Sample the (s + 2b)² cell grid from the GRAY image: warp cell sample
     points through the quad homography, binarize with a per-quad Otsu
     threshold (like cv::aruco's perspective-removal + Otsu), majority-vote
@@ -153,7 +153,10 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
     (≙ minOtsuStdDev)."""
     n = marker_size + 2 * border_bits
     hmat = homography_unit_square(quad)
-    offs = (np.arange(sub) + 0.5) / sub
+    # sample only the central band of each cell (cv2's
+    # perspectiveRemoveIgnoredMarginPerCell=0.13): cell-boundary pixels are
+    # blur-contaminated and flipped a 28-px marker's bits at sigma=1.2
+    offs = cell_margin + (np.arange(sub) + 0.5) / sub * (1 - 2 * cell_margin)
     cell = np.arange(n)
     u = (cell[:, None] + offs[None, :]).reshape(-1) / n  # (n*sub,)
     uu, vv = np.meshgrid(u, u, indexing="xy")

