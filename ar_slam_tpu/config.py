@@ -42,8 +42,14 @@ class SolverConfig:
     max_lambda: float = 1e32
     function_tolerance: float = 1e-6  # ceres default
     parameter_tolerance: float = 1e-8  # ceres default
-    # (ceres' gradient_tolerance test is not implemented; convergence is
-    # by function/parameter tolerances + trust-region stall detection)
+    # ceres default gradient test: terminate when ||J^T r||_inf <= this
+    # (Solver::Options::gradient_tolerance; complements function/parameter
+    # tolerances + trust-region stall detection)
+    gradient_tolerance: float = 1e-10
+    # ≙ ceres minimizer_progress_to_stdout (ar_slam_util.cpp:1012): print
+    # one line per LM iteration.  Host-stepped (one device call per
+    # iteration instead of the fused while_loop) — debug only, slower.
+    minimizer_progress_to_stdout: bool = False
     # Jacobi (column-norm) scaling of the normal equations, as ceres does.
     jacobi_scaling: bool = True
     # Reduced-system solver: "dense" Cholesky (≙ ceres DENSE_SCHUR,
@@ -113,7 +119,12 @@ class DetectConfig:
 class PipelineConfig:
     """Streaming pipeline behavior (≙ component params, §2.1 of SURVEY)."""
 
-    pub_period: float = 0.5  # image_loader.cpp:92-102
+    # ingest pacing: release at most one image per ``pub_period`` seconds
+    # into the detect stage, ≙ the ImageLoader's one-image-per-tick timer
+    # (image_loader.cpp:92-102,164-206; reference default 0.5 s).  0
+    # disables — the batched TPU pipeline needs no throttle to keep the
+    # solver fed; set 0.5 for strict reference pacing parity.
+    pub_period: float = 0.0
     merge_queue_depth: int = 3  # merge_detections.cpp:125-126
     # images per pipelined stage batch (serve splits submissions into
     # batches of this size so decode of batch N+1 overlaps detect of N
@@ -125,6 +136,12 @@ class PipelineConfig:
     output_map_fn: str = ""
     display_debug: bool = False
     event_log_path: str = ""  # ≙ bag_recorder.cpp fixed /tmp/ar_slam.bag
+    # hermetic logs: embed each capture's pixels (base64 PNG) in the event
+    # log so ``arslam replay`` needs no original files, ≙ the bag storing
+    # full Capture messages (bag_recorder.cpp:73-83).  Off by default —
+    # detection-only replay (the recorded corners) rebuilds the same map
+    # without the ~100x log size.
+    event_log_embed_images: bool = False
     # periodic durable checkpoint cadence during long incremental runs
     # (map.yaml is the checkpoint format); 0 disables
     snapshot_every_s: float = 0.0

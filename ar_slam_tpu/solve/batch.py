@@ -201,6 +201,7 @@ def _lm_config(cfg, camera_cfg=None) -> LMConfig:
         max_lambda=cfg.max_lambda,
         function_tolerance=cfg.function_tolerance,
         parameter_tolerance=cfg.parameter_tolerance,
+        gradient_tolerance=getattr(cfg, "gradient_tolerance", 1e-10),
         jacobi_scaling=cfg.jacobi_scaling,
         enable_distortion=bool(getattr(camera_cfg, "enable_distortion",
                                        False)),
@@ -227,6 +228,8 @@ class _WaveRunner:
         self.store = store
         self.aruco_size = aruco_size
         self.config = _lm_config(solver_cfg, camera_cfg)
+        self.progress = getattr(solver_cfg, "minimizer_progress_to_stdout",
+                                False)
         self.seed_mode = getattr(solver_cfg, "seed_mode", "hybrid")
         self.assemble_fn = assemble_fn
         self.mesh = mesh
@@ -393,6 +396,30 @@ class _WaveRunner:
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
 
+        if lm_enabled and self.progress and self._dist_wave is None:
+            # ≙ minimizer_progress_to_stdout (ar_slam_util.cpp:1012):
+            # apply the seeds fused, then HOST-STEP the LM one iteration
+            # per device call, printing a ceres-style line each time
+            (self.camera, self.cap_poses, self.tag_poses, _) = (
+                solve_wave_multi(
+                    self.camera, self.cap_poses, self.tag_poses,
+                    self.cap_idx, self.tag_idx, self.corners,
+                    jnp.asarray(self.active_blocks.copy()),
+                    jnp.asarray(True), jnp.asarray(cap_active),
+                    jnp.asarray(self.active_tags.copy()),
+                    jnp.asarray(seed_caps), jnp.asarray(seed_blocks),
+                    jnp.asarray(tag_init_blocks), jnp.asarray(tag_init_wave),
+                    jnp.asarray(False),
+                    aruco_size=self.aruco_size, config=self.config,
+                    assemble_fn=self.assemble_fn, seed_mode=self.seed_mode,
+                    obs_per_tag=self.obs_per_tag,
+                    obs_per_cap=self.obs_per_cap,
+                    row_slots=self.row_slots, tag_rows=self.tag_rows,
+                    cap_rows=self.cap_rows,
+                ))
+            self.last_info = self._lm_host_stepped(cap_active)
+            return self.last_info
+
         (self.camera, self.cap_poses, self.tag_poses, info) = (
             solve_wave_multi(
                 self.camera, self.cap_poses, self.tag_poses,
@@ -418,6 +445,57 @@ class _WaveRunner:
             )
         )
         self.last_info = info
+        return info
+
+    def _lm_host_stepped(self, cap_active):
+        """One LM iteration per device call, printing ceres-style progress
+        lines (≙ minimizer_progress_to_stdout, ar_slam_util.cpp:1012).
+        The damping schedule threads through lam0/nu0 so the sequence of
+        (lambda, nu) matches the fused while_loop's exactly."""
+        import time as _time
+
+        from ar_slam_tpu.solve.lm import TERMINATION_REASONS, lm_solve
+
+        cfg = self.config
+        dtype = self.cap_poses.dtype
+        lam, nu = cfg.initial_lambda, 2.0
+        prev_cost = None
+        t_start = _time.time()
+        print("iter      cost      cost_change  |gradient|  "
+              "tr_radius   iter_time  total_time")
+        info = None
+        for it in range(cfg.max_iterations):
+            t0 = _time.time()
+            (self.camera, self.cap_poses, self.tag_poses, info) = lm_solve(
+                self.camera, self.cap_poses, self.tag_poses,
+                self.cap_idx, self.tag_idx, self.corners,
+                jnp.asarray(self.active_blocks.copy()),
+                jnp.asarray(True), jnp.asarray(cap_active),
+                jnp.asarray(self.active_tags.copy()),
+                aruco_size=self.aruco_size, config=cfg,
+                assemble_fn=self.assemble_fn,
+                iter_budget=jnp.asarray(1, jnp.int32),
+                lam0=jnp.asarray(lam, dtype), nu0=jnp.asarray(nu, dtype),
+                obs_per_tag=self.obs_per_tag, obs_per_cap=self.obs_per_cap,
+                row_slots=self.row_slots, tag_rows=self.tag_rows,
+                cap_rows=self.cap_rows,
+            )
+            cost = float(info["cost"])
+            lam, nu = float(info["lambda"]), float(info["nu"])
+            dcost = 0.0 if prev_cost is None else prev_cost - cost
+            now = _time.time()
+            print(f"{it:4d}  {cost:11.6e}  {dcost:11.2e}  "
+                  f"{float(info['grad_max']):11.2e}  "
+                  f"{1.0 / max(lam, 1e-30):10.2e}  {now - t0:9.2e}  "
+                  f"{now - t_start:9.2e}")
+            prev_cost = cost
+            if bool(info["converged"]):
+                print("terminating: "
+                      + TERMINATION_REASONS.get(int(info["termination"]),
+                                                "?"))
+                break
+        if info is not None:
+            info = {**info, "iterations": jnp.asarray(it + 1, jnp.int32)}
         return info
 
     def true_sq_cost(self) -> float:

@@ -48,6 +48,11 @@ class LMConfig(NamedTuple):
     min_relative_decrease: float = 1e-3
     function_tolerance: float = 1e-6
     parameter_tolerance: float = 1e-8
+    # ceres Solver::Options::gradient_tolerance default (1e-10): terminate
+    # when ||J^T r||_inf over active parameters falls at/below this
+    # (ar_slam_util.cpp:1001-1018 runs ceres defaults, which include the
+    # gradient-norm test)
+    gradient_tolerance: float = 1e-10
     jacobi_scaling: bool = True
     max_lambda: float = 1e32
     min_lambda: float = 1e-16
@@ -86,6 +91,37 @@ class LMState(NamedTuple):
     cost: jnp.ndarray  # ()
     iteration: jnp.ndarray  # () int
     converged: jnp.ndarray  # () bool
+    term: jnp.ndarray  # () int32 termination code (TERMINATION_REASONS)
+
+
+# per-solve termination reason (info["termination"]), mirroring ceres'
+# TerminationType for the tests the reference's defaults enable
+TERMINATION_REASONS = {
+    0: "NO_CONVERGENCE",          # iteration budget exhausted
+    1: "FUNCTION_TOLERANCE",
+    2: "PARAMETER_TOLERANCE",
+    3: "GRADIENT_TOLERANCE",
+    4: "TRUST_REGION_STALL",      # every step rejected, lambda blew up
+    5: "DISABLED",                # enabled=False seed-only call
+}
+
+
+def _grad_inf_norm(eqs, cam_active, cap_active, tag_active):
+    """||J^T r||_inf over ACTIVE parameters (ceres' gradient test norm).
+
+    Accepts either the field-named eqs tuples (NormalEqs / GroupedEqs) or
+    the distributed hooks' ``(CapEqs, (hct, wt_s, htt, g_t))`` pair."""
+    if hasattr(eqs, "g_t"):
+        g_c, g_p, g_t = eqs.g_c, eqs.g_p, eqs.g_t
+    else:
+        cap_eqs, tag_side = eqs
+        g_c, g_p, g_t = cap_eqs.g_c, cap_eqs.g_p, tag_side[-1]
+    dt = g_p.dtype
+    gc = jnp.where(jnp.asarray(cam_active), jnp.max(jnp.abs(g_c)),
+                   jnp.asarray(0.0, dt))
+    gp = jnp.max(jnp.abs(g_p) * cap_active[:, None].astype(dt))
+    gt = jnp.max(jnp.abs(g_t) * tag_active[:, None].astype(dt))
+    return jnp.maximum(gc, jnp.maximum(gp, gt))
 
 
 def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
@@ -205,7 +241,7 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
 def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             lin_fn, quality_fn, config: LMConfig, enabled=True,
             solve_fn=None, iter_budget=None, solver_state0=None,
-            quality_lin_fn=None):
+            quality_lin_fn=None, lam0=None, nu0=None):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
     The linearization (residuals + Jacobian blocks + assembled normal
@@ -251,15 +287,27 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             )
 
     eqs0, cost0, aux0 = lin_fn(camera, cap_poses, tag_poses)
+    # ceres checks the gradient test at iteration 0 too (a problem started
+    # at its optimum terminates GRADIENT_TOLERANCE without stepping)
+    g_conv0 = _grad_inf_norm(eqs0, cam_active, cap_active, tag_active) <= (
+        config.gradient_tolerance)
+    enabled_t = jnp.asarray(enabled)
     state0 = LMState(
         camera=camera.astype(dtype),
         cap_poses=cap_poses,
         tag_poses=tag_poses,
-        lam=jnp.asarray(config.initial_lambda, dtype),
-        nu=jnp.asarray(2.0, dtype),
+        # lam0/nu0 (traced, optional) resume the damping schedule across
+        # host-stepped calls (minimizer_progress_to_stdout)
+        lam=(jnp.asarray(config.initial_lambda, dtype) if lam0 is None
+             else jnp.asarray(lam0, dtype)),
+        nu=(jnp.asarray(2.0, dtype) if nu0 is None
+            else jnp.asarray(nu0, dtype)),
         cost=cost0,
         iteration=jnp.asarray(0, jnp.int32),
-        converged=jnp.logical_not(jnp.asarray(enabled)),
+        converged=jnp.logical_not(enabled_t) | g_conv0,
+        term=jnp.where(enabled_t,
+                       jnp.where(g_conv0, jnp.int32(3), jnp.int32(0)),
+                       jnp.int32(5)),
     )
 
     def body(carry):
@@ -305,18 +353,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             x_norm + config.parameter_tolerance
         )
         stalled = ~accept & (state.lam >= config.stall_lambda)
-        converged = (accept & (f_conv | p_conv)) | stalled
-
-        new_state = LMState(
-            camera=jnp.where(accept, new_camera, state.camera),
-            cap_poses=jnp.where(accept, new_caps, state.cap_poses),
-            tag_poses=jnp.where(accept, new_tags, state.tag_poses),
-            lam=jnp.where(accept, lam_acc, lam_rej),
-            nu=jnp.where(accept, jnp.asarray(2.0, dtype), state.nu * 2.0),
-            cost=jnp.where(accept, new_cost, state.cost),
-            iteration=state.iteration + 1,
-            converged=converged,
-        )
+        converged_fp = (accept & (f_conv | p_conv)) | stalled
 
         if quality_lin_fn is not None:
             # speculative relinearization already happened at the proposed
@@ -335,8 +372,35 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             def keep(_):
                 return eqs, aux
 
-            eqs_n, aux_n = jax.lax.cond(accept & ~converged, do_lin, keep,
+            eqs_n, aux_n = jax.lax.cond(accept & ~converged_fp, do_lin, keep,
                                         None)
+
+        # ceres' gradient test on the fresh linearization.  Only meaningful
+        # when eqs_n is fresh, i.e. accepted and not already f/p-converged
+        # (when f/p fired the stale-eqs case doesn't matter — we stop with
+        # that reason anyway).
+        g_conv = accept & ~converged_fp & (
+            _grad_inf_norm(eqs_n, cam_active, cap_active, tag_active)
+            <= config.gradient_tolerance)
+        converged = converged_fp | g_conv
+        term = jnp.where(
+            stalled, jnp.int32(4),
+            jnp.where(g_conv, jnp.int32(3),
+                      jnp.where(accept & f_conv, jnp.int32(1),
+                                jnp.where(accept & p_conv, jnp.int32(2),
+                                          jnp.int32(0)))))
+
+        new_state = LMState(
+            camera=jnp.where(accept, new_camera, state.camera),
+            cap_poses=jnp.where(accept, new_caps, state.cap_poses),
+            tag_poses=jnp.where(accept, new_tags, state.tag_poses),
+            lam=jnp.where(accept, lam_acc, lam_rej),
+            nu=jnp.where(accept, jnp.asarray(2.0, dtype), state.nu * 2.0),
+            cost=jnp.where(accept, new_cost, state.cost),
+            iteration=state.iteration + 1,
+            converged=converged,
+            term=term,
+        )
         if stateful:
             # warm start helps only the rejected-step re-solve (same
             # linearization, larger damping -> shrunk but aligned step);
@@ -355,14 +419,18 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         state = carry[0]
         return (state.iteration < budget) & ~state.converged
 
-    final, _, _, _ = jax.lax.while_loop(cond, body,
-                                        (state0, eqs0, aux0, sol0))
+    final, eqs_f, _, _ = jax.lax.while_loop(cond, body,
+                                            (state0, eqs0, aux0, sol0))
     info = {
         "cost": final.cost,
         "iterations": final.iteration,
         "lambda": final.lam,
         "converged": final.converged,
         "initial_cost": state0.cost,
+        "termination": final.term,
+        "nu": final.nu,
+        "grad_max": _grad_inf_norm(eqs_f, cam_active, cap_active,
+                                   tag_active),
     }
     return final.camera, final.cap_poses, final.tag_poses, info
 
@@ -392,6 +460,8 @@ def lm_solve(
     row_slots: int | None = None,
     tag_rows: int | None = None,
     cap_rows: int | None = None,
+    lam0=None,
+    nu0=None,
 ):
     """Run LM to convergence on the (masked, padded) problem.
 
@@ -454,7 +524,8 @@ def lm_solve(
         return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                        tag_active, lin_fn, quality_fn, config,
                        enabled=enabled, solve_fn=solve_fn,
-                       iter_budget=iter_budget, solver_state0=solver_state0)
+                       iter_budget=iter_budget, solver_state0=solver_state0,
+                       lam0=lam0, nu0=nu0)
     lin_fn, quality_fn = make_block_hooks(
         cap_idx, tag_idx, corners, block_mask, aruco_size, n_caps, n_tags,
         distortion=config.enable_distortion, loss=config.loss,
@@ -471,4 +542,4 @@ def lm_solve(
 
     return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                    tag_active, lin_fn, quality_fn, config, enabled=enabled,
-                   iter_budget=iter_budget)
+                   iter_budget=iter_budget, lam0=lam0, nu0=nu0)

@@ -113,21 +113,27 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
             )
             return info
 
-        def timed(n, reps=3):
+        def timed(n, reps=4):
+            """Best-of-N repetition timing: single timed runs on this shared
+            box spread −1%…42% (CLAUDE.md), so the minimum — not the mean —
+            estimates the un-contended rate."""
             t0 = time.time()
             info = run(n)
             iters = int(info["iterations"])
             compile_s = time.time() - t0
-            t0 = time.time()
+            walls = []
             for _ in range(reps):
+                t0 = time.time()
                 info = run(n)
-            int(info["iterations"])  # sync
-            return (time.time() - t0) / reps, iters, compile_s, info
+                int(info["iterations"])  # sync
+                walls.append(time.time() - t0)
+            spread = (max(walls) - min(walls)) / max(min(walls), 1e-9)
+            return min(walls), iters, compile_s, info, spread
 
-        wall_lo, it_lo, compile_lo, _ = timed(n_lo)
+        wall_lo, it_lo, compile_lo, _, _ = timed(n_lo)
         # second budget reuses the same compiled program (traced budget) —
         # its "compile" is just a warm dispatch
-        wall_hi, it_hi, _, info = timed(n_iters)
+        wall_hi, it_hi, _, info, spread = timed(n_iters)
         cost = float(info["cost"])
         if profile_dir:
             os.makedirs(profile_dir, exist_ok=True)
@@ -144,6 +150,7 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         "compile_s": compile_lo,
         "iterations": it_hi,
         "final_cost": cost,
+        "rep_spread": spread,
     }
 
 
@@ -224,12 +231,13 @@ def bench_localize_throughput(store, dtype, q=256, reps=3):
         return jax.block_until_ready(costs)
 
     run()  # compile
-    t0 = time.time()
+    walls = []  # best-of-N (shared-box noise)
     for _ in range(reps):
+        t0 = time.time()
         costs = run()
-    dt = (time.time() - t0) / reps
+        walls.append(time.time() - t0)
     assert np.isfinite(np.asarray(costs)).all()
-    return q / dt
+    return q / min(walls)
 
 
 def bench_detection(batch_size=8, reps=5):
@@ -265,11 +273,13 @@ def bench_detection(batch_size=8, reps=5):
         out = detect_batch(batch, params=params)
         jax.block_until_ready(out)
         compile_s = time.time() - t0
-        t0 = time.time()
+        walls = []  # best-of-N: shared-box noise spreads −1%…42%
         for _ in range(reps):
+            t0 = time.time()
             out = detect_batch(batch, params=params)
             jax.block_until_ready(out)
-        dt = (time.time() - t0) / reps
+            walls.append(time.time() - t0)
+        dt = min(walls)
         # sanity: demo ids must appear
         ids0 = sorted(int(i)
                       for i in np.asarray(out["4X4_50"]["ids"][0]) if i >= 0)
@@ -328,6 +338,7 @@ def main():
             "blocks": int(arrs.n_blocks),
             "compile_s": round(accel["compile_s"], 1),
             "final_cost": accel["final_cost"],
+            "rep_spread": round(accel.get("rep_spread", 0.0), 3),
             "detect_frames_per_s": round(det["frames_per_s"], 2),
             "detect_frames_per_s_single_win": round(
                 det.get("frames_per_s_single_win", 0.0), 2),

@@ -533,3 +533,112 @@ def test_row_split_dropped_overflow_is_callers_fault_not_silent_corruption():
         config=LMConfig(max_iterations=10, linear_solver="cg"),
         obs_per_tag=s_max, row_slots=2, tag_rows=4)
     assert np.isfinite(float(out[3]["cost"]))
+
+
+def _solve_term(arrs, cap_poses, tag_poses, config):
+    return lm_solve(
+        jnp.asarray(arrs.camera), jnp.asarray(cap_poses),
+        jnp.asarray(tag_poses),
+        jnp.asarray(arrs.cap_idx), jnp.asarray(arrs.tag_idx),
+        jnp.asarray(arrs.corners), jnp.asarray(arrs.block_mask),
+        jnp.asarray(True), jnp.asarray(arrs.cap_mask),
+        jnp.asarray(arrs.tag_mask),
+        aruco_size=ARUCO_SIZE, config=config,
+    )
+
+
+def test_lm_termination_reasons():
+    """ceres-default termination semantics (ar_slam_util.cpp:1001-1018):
+    the gradient test fires on a problem started at its optimum (||J^T
+    r||_inf ~ 0 for exact observations at truth), function_tolerance fires
+    on a perturbed solve, and an exhausted budget reports NO_CONVERGENCE."""
+    from ar_slam_tpu.solve.lm import TERMINATION_REASONS
+
+    store, truth = make_synthetic_map(n_tags=9, n_caps=5, seed=1)
+    arrs = export_arrays(store)
+    cap_poses = arrs.cap_poses.copy()
+    tag_poses = arrs.tag_poses.copy()
+    for cap in store.captures:
+        cap_poses[cap.index] = truth["cap_poses"][int(cap.uid.split("_")[1])]
+    for tag in store.arucos:
+        tag_poses[tag.index] = truth["tag_poses"][int(tag.id.split("_")[-1])]
+
+    # started at the optimum: gradient test terminates without stepping
+    cam, caps, tags, info = _solve_term(
+        arrs, cap_poses, tag_poses,
+        LMConfig(max_iterations=50, gradient_tolerance=1e-6))
+    assert TERMINATION_REASONS[int(info["termination"])] == (
+        "GRADIENT_TOLERANCE")
+    assert int(info["iterations"]) == 0
+    assert bool(info["converged"])
+    assert float(info["grad_max"]) <= 1e-6
+
+    # perturbed: converges by function tolerance (ceres default path)
+    rng = np.random.default_rng(3)
+    cam, caps, tags, info = _solve_term(
+        arrs, cap_poses + rng.normal(scale=0.01, size=cap_poses.shape),
+        tag_poses + rng.normal(scale=0.01, size=tag_poses.shape),
+        LMConfig(max_iterations=100))
+    assert TERMINATION_REASONS[int(info["termination"])] in (
+        "FUNCTION_TOLERANCE", "PARAMETER_TOLERANCE", "GRADIENT_TOLERANCE")
+    assert bool(info["converged"])
+
+    # budget exhaustion: NO_CONVERGENCE, converged False
+    cam, caps, tags, info = _solve_term(
+        arrs, cap_poses + rng.normal(scale=0.05, size=cap_poses.shape),
+        tag_poses + rng.normal(scale=0.05, size=tag_poses.shape),
+        LMConfig(max_iterations=1, function_tolerance=0.0,
+                 parameter_tolerance=0.0))
+    assert TERMINATION_REASONS[int(info["termination"])] == "NO_CONVERGENCE"
+    assert not bool(info["converged"])
+
+
+def test_lm_gradient_tolerance_fires_mid_run():
+    """With function/parameter tolerances disabled, a solvable problem must
+    still terminate — via the gradient test — once LM drives ||J^T r||_inf
+    under gradient_tolerance (exact observations: the gradient at the
+    optimum is ~1e-8, see test_lm_termination_reasons)."""
+    from ar_slam_tpu.solve.lm import TERMINATION_REASONS
+
+    store, truth = make_synthetic_map(n_tags=9, n_caps=5, seed=1)
+    arrs = export_arrays(store)
+    cap_poses = arrs.cap_poses.copy()
+    tag_poses = arrs.tag_poses.copy()
+    for cap in store.captures:
+        cap_poses[cap.index] = truth["cap_poses"][int(cap.uid.split("_")[1])]
+    for tag in store.arucos:
+        tag_poses[tag.index] = truth["tag_poses"][int(tag.id.split("_")[-1])]
+    rng = np.random.default_rng(7)
+    cam, caps, tags, info = _solve_term(
+        arrs, cap_poses + rng.normal(scale=0.01, size=cap_poses.shape),
+        tag_poses + rng.normal(scale=0.01, size=tag_poses.shape),
+        LMConfig(max_iterations=200, function_tolerance=0.0,
+                 parameter_tolerance=0.0, gradient_tolerance=1e-6))
+    assert TERMINATION_REASONS[int(info["termination"])] == (
+        "GRADIENT_TOLERANCE"), (int(info["termination"]),
+                                float(info["grad_max"]))
+    assert int(info["iterations"]) > 0
+    assert float(info["grad_max"]) <= 1e-6
+
+
+def test_minimizer_progress_to_stdout(capsys):
+    """≙ ceres minimizer_progress_to_stdout (ar_slam_util.cpp:1012): the
+    host-stepped debug mode prints one line per LM iteration and reaches
+    the same optimum as the fused loop."""
+    import dataclasses
+
+    store = load_demo_store(3)
+    cfg = ArSlamConfig()
+    ref = solve_batch(load_demo_store(3), cfg)
+
+    cfg_p = dataclasses.replace(
+        cfg, solver=dataclasses.replace(
+            cfg.solver, minimizer_progress_to_stdout=True))
+    out = solve_batch(store, cfg_p)
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.strip()]
+    assert any(ln.startswith("iter") for ln in lines)
+    iter_lines = [ln for ln in lines if ln.strip()[:1].isdigit()]
+    assert len(iter_lines) >= 2, lines
+    assert any(ln.startswith("terminating:") for ln in lines)
+    assert abs(out["rmse"] - ref["rmse"]) < 1e-3, (out["rmse"], ref["rmse"])
