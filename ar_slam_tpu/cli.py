@@ -318,18 +318,41 @@ def cmd_make_map(args) -> int:
 
 
 def cmd_replay(args) -> int:
-    from ar_slam_tpu.pipeline.engine import ArSlamEngine, EventLog
+    """Rebuild a map from an event log.  Default: replay the recorded
+    detections (self-contained — corners are in the log).  With
+    --redetect: decode the EMBEDDED images (serve --embed-images /
+    PipelineConfig.event_log_embed_images, ≙ the bag storing full Capture
+    messages, bag_recorder.cpp:73-83) and re-run the detector."""
+    from ar_slam_tpu.pipeline.engine import (ArSlamEngine, EventLog,
+                                             decode_png_b64)
+    from ar_slam_tpu.pipeline.ingest import IngestedCapture
     import numpy as np
 
     engine = ArSlamEngine(config=_config(args))
-    for rec in EventLog.replay(args.log):
-        if rec["kind"] != "detections":
-            continue
-        dets = [(d["id"], np.asarray(d["corners"]).reshape(4, 2))
-                for d in rec["detections"]]
-        engine.store.add_detections(rec["uid"], dets,
-                                    (rec["width"], rec["height"]),
-                                    rec.get("path", ""))
+    if getattr(args, "redetect", False):
+        caps = []
+        for rec in EventLog.replay(args.log):
+            if rec["kind"] != "capture":
+                continue
+            if "image_png" not in rec:
+                print(f"error: capture {rec['uid']} has no embedded image "
+                      "(record with serve --embed-images)", file=sys.stderr)
+                return 1
+            caps.append(IngestedCapture(
+                uid=rec["uid"], path=rec.get("path", ""),
+                image=decode_png_b64(rec["image_png"])))
+        for uid, by_dict, size, path in engine.detect_decoded(caps):
+            flat = [d for dets in by_dict.values() for d in dets]
+            engine.store.add_detections(uid, flat, size, path)
+    else:
+        for rec in EventLog.replay(args.log):
+            if rec["kind"] != "detections":
+                continue
+            dets = [(d["id"], np.asarray(d["corners"]).reshape(4, 2))
+                    for d in rec["detections"]]
+            engine.store.add_detections(rec["uid"], dets,
+                                        (rec["width"], rec["height"]),
+                                        rec.get("path", ""))
     summary = engine.solve()
     engine.save_map(args.output)
     print(f"replayed -> rmse {summary.get('rmse', float('nan')):.4f} px "
@@ -418,6 +441,20 @@ def _config(args):
             cfg,
             camera=dataclasses.replace(cfg.camera, enable_distortion=True),
         )
+    pub_period = getattr(args, "pub_period", None)
+    if pub_period is not None:
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline,
+                                              pub_period=pub_period))
+    event_log = getattr(args, "event_log", None)
+    if event_log:
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline,
+                                              event_log_path=event_log))
+    if getattr(args, "embed_images", False):
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline,
+                                              event_log_embed_images=True))
     loss = getattr(args, "robust_loss", "")
     if loss:
         cfg = dataclasses.replace(
@@ -427,6 +464,10 @@ def _config(args):
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(cfg.solver,
                                             loss_scale=loss_scale))
+    if getattr(args, "progress", False):
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(
+                cfg.solver, minimizer_progress_to_stdout=True))
     if getattr(args, "iterative_schur", False):
         cfg = dataclasses.replace(
             cfg,
@@ -554,6 +595,10 @@ def main(argv=None) -> int:
                              "implicit-Schur preconditioned CG instead of "
                              "dense Cholesky (faster at large capture "
                              "counts; ≙ ceres ITERATIVE_SCHUR)")
+        sp.add_argument("--progress", action="store_true",
+                        help="print one line per LM iteration "
+                             "(host-stepped; ≙ ceres "
+                             "minimizer_progress_to_stdout)")
         sp.add_argument("--optimize-every", type=int, default=None,
                         help="run the full optimization only every Nth "
                              "capture wave (always the last) instead of "
@@ -595,6 +640,17 @@ def main(argv=None) -> int:
     sp.add_argument("--sequential", action="store_true",
                     help="disable the overlapped ingest/detect/merge/solve "
                          "pipeline (strict poll-detect-solve loop)")
+    sp.add_argument("--pub-period", type=float, default=None,
+                    help="pace ingest to one image per PERIOD seconds "
+                         "(the reference ImageLoader's pub_period, default "
+                         "0.5 there; 0/omitted = unthrottled)")
+    sp.add_argument("--event-log", default=None,
+                    help="append captures+detections to this jsonl event "
+                         "log (≙ BagRecorder; replay with arslam replay)")
+    sp.add_argument("--embed-images", action="store_true",
+                    help="embed capture pixels (base64 PNG) in the event "
+                         "log — hermetic replay without the originals "
+                         "(≙ the bag storing full Capture messages)")
     sp.add_argument("--artifacts", default="",
                     help="append one jsonl record of TF/CameraInfo/markers "
                          "per solved batch (≙ the per-batch publishes, "
@@ -625,6 +681,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("replay", help="rebuild a map from an event log")
     sp.add_argument("log")
     sp.add_argument("-o", "--output", default="map.yaml")
+    sp.add_argument("--redetect", action="store_true",
+                    help="re-run the detector on the log's EMBEDDED images "
+                         "(from serve --embed-images) instead of replaying "
+                         "recorded detections")
     common(sp)
     sp.set_defaults(fn=cmd_replay)
 

@@ -23,6 +23,30 @@ from ar_slam_tpu.pipeline.ingest import ImageIngest
 logger = logging.getLogger(__name__)
 
 
+def _encode_png_b64(image) -> str:
+    """Grayscale (H, W) uint8 -> base64 PNG string (hermetic log record)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image, mode="L").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def decode_png_b64(data: str):
+    """Inverse of _encode_png_b64 (used by ``arslam replay``)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(data)))
+                      .convert("L"))
+
+
 class EventLog:
     """Append-only jsonl event recorder (≙ BagRecorder's /tmp/ar_slam.bag):
     captures and merged detections, replayable into a new engine."""
@@ -145,9 +169,15 @@ class ArSlamEngine:
             out.append((cap.uid, by_dict, (w, h), cap.path))
             if self.event_log:
                 # ≙ BagRecorder's captures stream (bag_recorder.cpp:73-83):
-                # the raw-capture record (path, not pixels) + detections
+                # the raw-capture record (path; pixels too when
+                # event_log_embed_images — hermetic, replayable without
+                # the originals) + detections
+                extra = {}
+                if self.config.pipeline.event_log_embed_images:
+                    extra["image_png"] = _encode_png_b64(cap.image)
                 self.event_log.record(
                     "capture", uid=cap.uid, path=cap.path, width=w, height=h,
+                    **extra,
                 )
                 self.event_log.record(
                     "detections", uid=cap.uid, path=cap.path,

@@ -60,7 +60,9 @@ class StreamPipeline:
 
     Usage:
         pipe = StreamPipeline(engine)
-        pipe.submit(paths)          # any number of times, non-blocking
+        pipe.submit(paths)          # any number of times; applies
+                                    # backpressure when the depth-2 decode
+                                    # queue is full
         stats = pipe.drain()        # run solves until all batches done
     The solve stage runs on the CALLER's thread (inside submit/drain) so
     engine.store mutation and map saving stay single-threaded, like the
@@ -72,6 +74,10 @@ class StreamPipeline:
         self.engine = engine
         cfg = engine.config.pipeline
         self.batch_size = batch_size or max(int(cfg.batch_size), 1)
+        # ingest pacing ≙ ImageLoader's one-image-per-pub_period timer
+        # (image_loader.cpp:92-102); 0 = unthrottled
+        self.pub_period = max(float(getattr(cfg, "pub_period", 0.0)), 0.0)
+        self._release_at = time.time()
         self.on_solve = on_solve or (lambda summary, uids: None)
         self.merge = _make_merge(engine)
         self.timeline = StageTimeline()
@@ -119,6 +125,15 @@ class StreamPipeline:
             except BaseException as e:  # noqa: BLE001
                 self._errors.append(e)
                 caps = []
+            if self.pub_period > 0 and caps:
+                # one image per pub_period tick: the batch of k images is
+                # released k ticks after the previous one
+                now = time.time()
+                wait = self._release_at - now
+                if wait > 0:
+                    time.sleep(wait)
+                self._release_at = (max(self._release_at, now)
+                                    + len(caps) * self.pub_period)
             self.timeline.record("ingest", t0, time.time())
             self._detect_q.put(caps)
 

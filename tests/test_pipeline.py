@@ -496,3 +496,73 @@ def test_serve_artifact_stream_per_batch(tmp_path, monkeypatch):
     assert len(pngs) == 3 and all(p.endswith("_annotated.png")
                                   for p in pngs)
     assert os.path.exists(out)
+
+
+def test_stream_pipeline_pub_period_paces_ingest():
+    """PipelineConfig.pub_period throttles the ingest→detect handoff to one
+    image per tick (≙ ImageLoader's pub_period timer publishing one image
+    per tick, image_loader.cpp:92-102): 6 images at 0.1 s/image cannot
+    finish faster than ~0.4 s (first batch releases immediately), and the
+    default (0) applies no pacing."""
+    import dataclasses
+    import time
+
+    from ar_slam_tpu.config import ArSlamConfig, PipelineConfig
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+    from ar_slam_tpu.pipeline.stream import StreamPipeline
+
+    period = 0.1
+    cfg = dataclasses.replace(
+        ArSlamConfig(),
+        pipeline=PipelineConfig(batch_size=2, pub_period=period))
+    paths = IMAGES[:3] * 2  # 6 images -> 3 batches of 2
+
+    eng = ArSlamEngine(config=cfg)
+    pipe = StreamPipeline(eng)
+    assert pipe.pub_period == period
+    t0 = time.time()
+    pipe.submit(paths)
+    pipe.drain()
+    wall = time.time() - t0
+    pipe.close()
+    # batch 1 releases immediately; batches 2 and 3 wait for 2 and 4 ticks
+    assert wall >= 4 * period * 0.9, wall
+    assert len(eng.store.captures) == len(paths)
+
+
+def test_event_log_hermetic_replay(tmp_path):
+    """With event_log_embed_images the log carries capture pixels, and
+    ``arslam replay --redetect`` rebuilds the map WITHOUT the original
+    image files (≙ the bag storing full Capture messages,
+    bag_recorder.cpp:73-83)."""
+    import json
+    import shutil
+
+    from ar_slam_tpu.config import ArSlamConfig, PipelineConfig
+    from ar_slam_tpu.pipeline.engine import ArSlamEngine
+
+    # record from COPIES of the demo images so deleting them proves
+    # hermeticity
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    copies = [str(shutil.copy(p, imgdir)) for p in IMAGES[:3]]
+    log = tmp_path / "events.jsonl"
+    cfg = ArSlamConfig(pipeline=PipelineConfig(
+        event_log_path=str(log), event_log_embed_images=True))
+    eng = ArSlamEngine(config=cfg)
+    eng.add_images(copies)
+    eng.solve()
+    n_blocks = len(eng.store.blocks)
+    eng.close()
+
+    recs = [json.loads(line) for line in open(log) if line.strip()]
+    assert all("image_png" in r for r in recs if r["kind"] == "capture")
+
+    shutil.rmtree(imgdir)  # originals gone — replay must not need them
+    out = tmp_path / "replayed.yaml"
+    rc = cli_main(["replay", str(log), "--redetect", "-o", str(out)])
+    assert rc == 0
+    store = MapStore()
+    load_yaml(store, str(out))
+    assert len(store.captures) == 3
+    assert len(store.blocks) == n_blocks

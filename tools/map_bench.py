@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--every", type=int, nargs="+", default=[1, 4, 16])
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--solver", choices=["dense", "cg"], default=None,
+                    help="linear solver (cg for large-map runs)")
+    ap.add_argument("--save", default="", metavar="PATH",
+                    help="also save map.yaml and time the full "
+                         "store->waves->map.yaml path (wall_to_map)")
+
     args = ap.parse_args()
 
     if args.cpu:
@@ -47,22 +53,37 @@ def main():
         store, _ = make_synthetic_map(n_tags=args.tags, n_caps=args.caps,
                                       seed=0, noise_px=0.3)
         cfg = ArSlamConfig()
+        extra = {}
+        if args.solver:
+            extra["linear_solver"] = args.solver
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(
                 cfg.solver, optimize_every=every,
-                max_iterations=args.iters))
+                max_iterations=args.iters, **extra))
         n = len(store.captures)
         t0 = time.time()
         out = solve(store, cfg)
+        solve_wall = time.time() - t0
+        save_wall = 0.0
+        if args.save:
+            from ar_slam_tpu.graph import save_yaml
+
+            t1 = time.time()
+            save_yaml(store, args.save)
+            save_wall = time.time() - t1
         wall = time.time() - t0
         results[every] = {
-            "caps_per_s": round(n / wall, 3),
-            "wall_s": round(wall, 2),
+            "caps_per_s": round(n / solve_wall, 3),
+            "wall_s": round(solve_wall, 2),
+            "wall_to_map_s": round(wall, 2),
+            "save_s": round(save_wall, 2),
             "rmse_px": round(out.get("rmse", float("nan")), 4),
             "captures": n,
         }
-        print(f"optimize_every={every}: {n} caps in {wall:.1f}s "
-              f"({n / wall:.2f} caps/s), rmse {out.get('rmse', 0):.3f} px",
+        print(f"optimize_every={every}: {n} caps in {solve_wall:.1f}s "
+              f"({n / solve_wall:.2f} caps/s), rmse "
+              f"{out.get('rmse', 0):.3f} px"
+              + (f", +{save_wall:.1f}s map.yaml" if args.save else ""),
               file=sys.stderr)
 
     print(json.dumps({"map_throughput": results,
