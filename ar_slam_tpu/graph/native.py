@@ -39,6 +39,9 @@ def _lib():
         ("arslam_find_aruco", C.c_int32, [C.c_void_p, C.c_char_p]),
         ("arslam_add_block", C.c_int32,
          [C.c_void_p, C.c_int32, C.c_int32, C.POINTER(C.c_double)]),
+        ("arslam_bulk_add_blocks", None,
+         [C.c_void_p, C.c_int32, C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+          C.POINTER(C.c_double)]),
         ("arslam_set_camera", None,
          [C.c_void_p, C.POINTER(C.c_double), C.c_int32, C.c_int32]),
         ("arslam_get_camera", None,
@@ -135,6 +138,13 @@ class NativeGraph:
     def add_block(self, cap_idx: int, tag_idx: int, corners) -> int:
         c = np.ascontiguousarray(corners, dtype=np.float64).reshape(8)
         return self.lib.arslam_add_block(self.ptr, cap_idx, tag_idx, _dptr(c))
+
+    def bulk_add_blocks(self, cap_idx, tag_idx, corners) -> None:
+        ci = np.ascontiguousarray(cap_idx, dtype=np.int32)
+        ti = np.ascontiguousarray(tag_idx, dtype=np.int32)
+        c = np.ascontiguousarray(corners, dtype=np.float64).reshape(-1, 8)
+        self.lib.arslam_bulk_add_blocks(self.ptr, ci.shape[0], _iptr(ci),
+                                        _iptr(ti), _dptr(c))
 
     # camera / poses
     def set_camera(self, params, width=-1, height=-1):

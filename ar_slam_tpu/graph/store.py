@@ -162,6 +162,29 @@ class MapStore:
             self._native.add_block(cap_idx, tag_idx, corners)
         return block
 
+    def bulk_add_blocks(self, corners: np.ndarray, cap_idx: np.ndarray,
+                        tag_idx: np.ndarray) -> None:
+        """Append many blocks at once (checkpoint restore of large maps).
+
+        Semantics identical to repeated ``add_block``; one native call and
+        per-block corner VIEWS into a single parsed array instead of 263k
+        ctypes round trips + array copies.
+        """
+        corners = np.ascontiguousarray(corners, dtype=float).reshape(-1, 4, 2)
+        cap_idx = np.ascontiguousarray(cap_idx, dtype=np.int32)
+        tag_idx = np.ascontiguousarray(tag_idx, dtype=np.int32)
+        base = len(self.blocks)
+        blocks = self.blocks
+        captures, arucos = self.captures, self.arucos
+        for k, (c, t) in enumerate(zip(cap_idx.tolist(), tag_idx.tolist())):
+            idx = base + k
+            blocks.append(Block(index=idx, cap_idx=c, tag_idx=t,
+                                corners=corners[k]))
+            captures[c].blocks.append(idx)
+            arucos[t].blocks.append(idx)
+        if self._native is not None:
+            self._native.bulk_add_blocks(cap_idx, tag_idx, corners)
+
     def gen_unique_capture_uid(self) -> str:
         base = f"cap_{len(self.captures)}"
         if base not in self.capture_map:
@@ -207,9 +230,15 @@ class MapStore:
             logger.warning("capture uid %s already exists", capture_uid)
             capture_uid = self.gen_unique_capture_uid()
         cap = self.add_capture(capture_uid, image_path)
-        for tag_id, corners in detections:
-            tag = self.get_or_add_aruco(tag_id)
-            self.add_block(corners, cap.index, tag.index)
+        # intern tags first (same creation order as interleaved add_block),
+        # then insert the capture's blocks in one bulk call
+        tag_idx = np.fromiter(
+            (self.get_or_add_aruco(tag_id).index for tag_id, _ in detections),
+            np.int32, len(detections))
+        corners = np.stack([np.asarray(c, dtype=float).reshape(4, 2)
+                            for _, c in detections])
+        self.bulk_add_blocks(
+            corners, np.full(len(detections), cap.index, np.int32), tag_idx)
         self.unsolved_captures.add(cap.index)
         return cap.index
 

@@ -27,17 +27,176 @@ import yaml
 from ar_slam_tpu.graph.store import MapStore
 
 
+# libyaml C loader when built (3-4x the pure-Python parse); both are ~40x
+# slower than the fast path below on large machine-written maps.
+_YAML_LOADER = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+
+
+class _FallbackToYaml(Exception):
+    """The text is not in the strict machine-written subset — use PyYAML."""
+
+
+def _parse_floats(parts: list[str], per_row: int) -> np.ndarray:
+    """Parse a list of comma-separated float strings into (len, per_row).
+
+    One big join + np.fromstring keeps the float parsing in C (263k
+    8-float rects parse in ~0.7 s vs ~44 s through the libyaml event
+    pipeline).  Size mismatches (e.g. unparseable tokens — np.fromstring
+    stops early) fall back to full YAML parsing.
+    """
+    if not parts:
+        return np.zeros((0, per_row))
+    import warnings
+
+    joined = ",".join(parts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # np.fromstring text mode deprecation
+        vals = np.fromstring(joined, dtype=float, sep=",")
+    if vals.size != len(parts) * per_row:
+        raise _FallbackToYaml()
+    return vals.reshape(len(parts), per_row)
+
+
+def _fast_parse(text: str):
+    """Parse the exact line format ``dumps_yaml`` writes (section order
+    blocks, captures, arucos, camera; 2/4-space indents; flow-seq vectors).
+
+    Returns fully-parsed numeric data WITHOUT touching the store, so a
+    mid-file surprise cannot leave a half-mutated store; any deviation
+    raises _FallbackToYaml and the caller re-parses with PyYAML.
+    """
+    lines = text.split("\n")
+    n = len(lines)
+    i = 0
+    if not (i < n and lines[i] == "blocks:"):
+        raise _FallbackToYaml()
+    i += 1
+    blk_caps: list[str] = []
+    blk_tags: list[str] = []
+    rect_strs: list[str] = []
+    while i < n and lines[i].startswith("  - capture: "):
+        if not (i + 2 < n
+                and lines[i + 1].startswith("    aruco: ")
+                and lines[i + 2].startswith("    aruco_rect: [")
+                and lines[i + 2].endswith("]")):
+            raise _FallbackToYaml()
+        blk_caps.append(lines[i][13:])
+        blk_tags.append(lines[i + 1][11:])
+        rect_strs.append(lines[i + 2][17:-1])
+        i += 3
+    if not (i < n and lines[i] == "captures:"):
+        raise _FallbackToYaml()
+    i += 1
+    cap_uids: list[str] = []
+    cap_pose_strs: list[str] = []
+    cap_img_fns: list[str] = []
+    while (i < n and lines[i].startswith("  ") and lines[i].endswith(":")
+           and not lines[i].startswith("    ")):
+        if not (i + 1 < n and lines[i + 1].startswith("    inv_pose: [")
+                and lines[i + 1].endswith("]")):
+            raise _FallbackToYaml()
+        cap_uids.append(lines[i][2:-1])
+        cap_pose_strs.append(lines[i + 1][15:-1])
+        i += 2
+        img_fn = ""
+        if i < n and lines[i].startswith("    img_fn:"):
+            img_fn = lines[i][11:].strip()
+            i += 1
+        cap_img_fns.append(img_fn)
+    if not (i < n and lines[i] == "arucos:"):
+        raise _FallbackToYaml()
+    i += 1
+    tag_ids: list[str] = []
+    tag_pose_strs: list[str] = []
+    while (i < n and lines[i].startswith("  ") and lines[i].endswith(":")
+           and not lines[i].startswith("    ")):
+        if not (i + 1 < n and lines[i + 1].startswith("    pose: [")
+                and lines[i + 1].endswith("]")):
+            raise _FallbackToYaml()
+        tag_ids.append(lines[i][2:-1])
+        tag_pose_strs.append(lines[i + 1][11:-1])
+        i += 2
+    camera = None
+    if i < n and lines[i] == "camera:":
+        i += 1
+        camera = {}
+        while i < n and lines[i].startswith("  "):
+            ln = lines[i]
+            if ln.startswith("  params: [") and ln.endswith("]"):
+                camera["params"] = _parse_floats([ln[11:-1]], 3)[0]
+            elif ln.startswith("  width: "):
+                camera["width"] = int(ln[9:])
+            elif ln.startswith("  height: "):
+                camera["height"] = int(ln[10:])
+            else:
+                raise _FallbackToYaml()
+            i += 1
+    while i < n:
+        if lines[i].strip():
+            raise _FallbackToYaml()
+        i += 1
+    return {
+        "cap_uids": cap_uids,
+        "cap_poses": _parse_floats(cap_pose_strs, 6),
+        "cap_img_fns": cap_img_fns,
+        "tag_ids": tag_ids,
+        "tag_poses": _parse_floats(tag_pose_strs, 6),
+        "blk_caps": blk_caps,
+        "blk_tags": blk_tags,
+        "rects": _parse_floats(rect_strs, 8),
+        "camera": camera,
+    }
+
+
 def load_yaml(store: MapStore, fn_or_stream) -> None:
     """Additively restore a map checkpoint into ``store``.
 
     Load order matches the reference loader (captures, arucos, blocks,
     camera — ar_slam_util.cpp:304-368) so index assignment is identical.
+
+    Machine-written checkpoints (this writer's exact format) take a fast
+    strict-parse path — PyYAML's event pipeline costs ~160 s on a 10k-tag /
+    263k-block map vs ~5 s here; anything else (hand-edited or
+    reference-written files) falls back to full YAML parsing with identical
+    semantics.
     """
     if hasattr(fn_or_stream, "read"):
-        doc = yaml.safe_load(fn_or_stream)
+        text = fn_or_stream.read()
     else:
         with open(fn_or_stream) as f:
-            doc = yaml.safe_load(f)
+            text = f.read()
+
+    try:
+        parsed = _fast_parse(text)
+    except _FallbackToYaml:
+        parsed = None
+    if parsed is not None:
+        for uid, pose, img_fn in zip(parsed["cap_uids"], parsed["cap_poses"],
+                                     parsed["cap_img_fns"]):
+            cap = store.add_capture(uid, img_fn)
+            cap.inv_pose = pose.copy()
+        for tag_id, pose in zip(parsed["tag_ids"], parsed["tag_poses"]):
+            tag = store.add_aruco(tag_id)
+            tag.pose = pose.copy()
+        if parsed["blk_caps"]:
+            cap_map, tag_map = store.capture_map, store.aruco_map
+            cap_idx = np.fromiter((cap_map[u] for u in parsed["blk_caps"]),
+                                  np.int32, len(parsed["blk_caps"]))
+            tag_idx = np.fromiter((tag_map[t] for t in parsed["blk_tags"]),
+                                  np.int32, len(parsed["blk_tags"]))
+            store.bulk_add_blocks(parsed["rects"].reshape(-1, 4, 2),
+                                  cap_idx, tag_idx)
+        cam = parsed["camera"]
+        if cam:
+            if "width" in cam and "height" in cam:
+                store.camera.size = (cam["width"], cam["height"])
+            params = cam.get("params")
+            if params is not None:
+                store.camera.params[: params.size] = params
+            store.camera.focal_calibrated = True
+        return
+
+    doc = yaml.load(text, Loader=_YAML_LOADER)
 
     for uid, cap_data in (doc.get("captures") or {}).items():
         cap = store.add_capture(str(uid), str(cap_data.get("img_fn", "")))

@@ -44,10 +44,21 @@ def apply_wave_seeds_multi(camera, cap_poses, tag_poses, cap_idx, tag_idx,
       seed_blocks: (W,) int32 seed block row per wave (-1 = keep pose /
         padding wave).
       tag_init_blocks: (T,) int32 block row initializing each tag (-1 =
-        keep).
+        keep).  INVARIANT: the referenced block belongs to the capture
+        seeded in ``tag_init_wave[t]`` (lazy tag init through the freshly
+        seeded capture, ar_slam_util.cpp:817-824) — the seed reads that
+        wave's capture pose, not a per-tag gather (which XLA lowered as a
+        tags x captures broadcast inside the scan at 10k-tag scale).
       tag_init_wave: (T,) int32 wave at which the tag initializes.
     """
     t_ids = jnp.arange(tag_poses.shape[0], dtype=jnp.int32)
+    # hoist the wave-invariant (T,)-indexed gathers from the B-sized block
+    # tables OUT of the scan: inside the scan body XLA lowered
+    # ``corners[tag_init_blocks]`` as a broadcast-select over tags x blocks
+    # — an f32[T_pad, B_pad, 4, 2] intermediate that breaks the int32
+    # allocation bound at 10k tags / 263k blocks
+    safe_init = jnp.maximum(tag_init_blocks, 0)
+    init_corners = corners[safe_init]  # (T, 4, 2)
 
     def body(carry, wave):
         cap_poses, tag_poses = carry
@@ -62,18 +73,20 @@ def apply_wave_seeds_multi(camera, cap_poses, tag_poses, cap_idx, tag_idx,
 
         cap_poses = jax.lax.cond(seed_block >= 0, seed_pose,
                                  lambda cp: cp, cap_poses)
+        # the wave's capture pose — every tag initialized this wave seeds
+        # through it (invariant above)
+        cap_pose_w = cap_poses[seed_cap]
 
-        def seed_tag(t, init_blk, init_w):
+        def seed_tag(t, blk_corners, init_blk, init_w):
             def do():
-                blk_corners = corners[init_blk]
-                cap_pose = cap_poses[cap_idx[init_blk]]
-                return seed_tag_pose(blk_corners, camera, cap_pose,
+                return seed_tag_pose(blk_corners, camera, cap_pose_w,
                                      aruco_size, mode=seed_mode)
 
             return jax.lax.cond((init_blk >= 0) & (init_w == w), do,
                                 lambda: tag_poses[t])
 
-        tag_poses = jax.vmap(seed_tag)(t_ids, tag_init_blocks, tag_init_wave)
+        tag_poses = jax.vmap(seed_tag)(t_ids, init_corners,
+                                       tag_init_blocks, tag_init_wave)
         return (cap_poses, tag_poses), None
 
     n_waves = seed_caps.shape[0]
@@ -109,17 +122,24 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
         seed_block >= 0, seed_pose, lambda cp: cp, cap_poses
     )
 
-    def seed_tag(t, init_blk):
+    # gather corners with clamped indices up front, and read the wave's
+    # capture pose ONCE — every tag initialized this wave seeds through the
+    # freshly seeded capture (same invariant as apply_wave_seeds_multi;
+    # per-tag gathers from the big tables lower as giant broadcasts here)
+    safe_init = jnp.maximum(tag_init_blocks, 0)
+    init_corners = corners[safe_init]  # (T, 4, 2)
+    cap_pose_w = cap_poses[seed_cap]
+
+    def seed_tag(t, blk_corners, init_blk):
         def do():
-            blk_corners = corners[init_blk]
-            cap_pose = cap_poses[cap_idx[init_blk]]
-            return seed_tag_pose(blk_corners, camera, cap_pose, aruco_size,
+            return seed_tag_pose(blk_corners, camera, cap_pose_w, aruco_size,
                                  mode=seed_mode)
 
         return jax.lax.cond(init_blk >= 0, do, lambda: tag_poses[t])
 
     tag_poses = jax.vmap(seed_tag)(
-        jnp.arange(tag_poses.shape[0], dtype=jnp.int32), tag_init_blocks
+        jnp.arange(tag_poses.shape[0], dtype=jnp.int32), init_corners,
+        tag_init_blocks
     )
     return cap_poses, tag_poses
 

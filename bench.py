@@ -280,19 +280,28 @@ def bench_detection(batch_size=8, reps=5):
             jax.block_until_ready(out)
             walls.append(time.time() - t0)
         dt = min(walls)
+        # pipelined steady state: enqueue ``reps`` batches, sync once —
+        # async dispatch overlaps the ~25 ms tunnel round trip with device
+        # compute, which is how the serve pipeline actually drives the chip
+        t0 = time.time()
+        outs = [detect_batch(batch, params=params) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        dt_pipe = (time.time() - t0) / reps
         # sanity: demo ids must appear
         ids0 = sorted(int(i)
                       for i in np.asarray(out["4X4_50"]["ids"][0]) if i >= 0)
         assert ids0 == [18, 20, 21, 22, 23], ids0
-        return batch_size / dt, dt * 1000, compile_s
+        return batch_size / dt, dt * 1000, compile_s, batch_size / dt_pipe
 
-    fps, batch_ms, compile_s = timed(sweep)
-    fps1, _, compile1 = timed(single)
+    fps, batch_ms, compile_s, fps_pipe = timed(sweep)
+    fps1, _, compile1, fps1_pipe = timed(single)
     return {
         "frames_per_s": fps,
+        "frames_per_s_pipelined": fps_pipe,
         "batch_ms": batch_ms,
         "compile_s": compile_s + compile1,
         "frames_per_s_single_win": fps1,
+        "frames_per_s_single_win_pipelined": fps1_pipe,
     }
 
 
@@ -340,8 +349,12 @@ def main():
             "final_cost": accel["final_cost"],
             "rep_spread": round(accel.get("rep_spread", 0.0), 3),
             "detect_frames_per_s": round(det["frames_per_s"], 2),
+            "detect_frames_per_s_pipelined": round(
+                det.get("frames_per_s_pipelined", 0.0), 2),
             "detect_frames_per_s_single_win": round(
                 det.get("frames_per_s_single_win", 0.0), 2),
+            "detect_frames_per_s_single_win_pipelined": round(
+                det.get("frames_per_s_single_win_pipelined", 0.0), 2),
             **{k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in demo.items()},
         },

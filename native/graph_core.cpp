@@ -116,6 +116,20 @@ int32_t arslam_add_block(GraphCore* g, int32_t cap_idx, int32_t tag_idx,
   return idx;
 }
 
+void arslam_bulk_add_blocks(GraphCore* g, int32_t n, const int32_t* cap_idx,
+                            const int32_t* tag_idx, const double* corners) {
+  for (int32_t k = 0; k < n; ++k) {
+    int32_t idx = static_cast<int32_t>(g->blocks.size());
+    g->blocks.emplace_back();
+    Block& b = g->blocks.back();
+    b.cap_idx = cap_idx[k];
+    b.tag_idx = tag_idx[k];
+    std::memcpy(b.corners, corners + 8 * k, 8 * sizeof(double));
+    g->captures[b.cap_idx].blocks.push_back(idx);
+    g->arucos[b.tag_idx].blocks.push_back(idx);
+  }
+}
+
 void arslam_set_camera(GraphCore* g, const double* params3, int32_t w,
                        int32_t h) {
   std::memcpy(g->camera, params3, 3 * sizeof(double));

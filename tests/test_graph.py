@@ -165,3 +165,114 @@ def test_export_subset_by_cap_order():
     assert arrs.block_mask.sum() == 10
     included_caps = set(arrs.cap_idx[arrs.block_mask].tolist())
     assert included_caps == {0, 1}
+
+
+def test_yaml_fast_loader_matches_fallback():
+    """The strict fast parser and the PyYAML fallback must build identical
+    stores from the same machine-written text."""
+    import ar_slam_tpu.graph.yamlio as yamlio
+
+    store = load_fixture_store()
+    rng = np.random.default_rng(3)
+    for cap in store.captures:
+        cap.inv_pose = rng.normal(size=6)
+    for tag in store.arucos:
+        tag.pose = rng.normal(size=6)
+    buf = io.StringIO()
+    save_yaml(store, buf)
+    text = buf.getvalue()
+
+    # the writer's own output must take the fast path
+    assert yamlio._fast_parse(text) is not None
+
+    fast, slow = MapStore(), MapStore()
+    load_yaml(fast, io.StringIO(text))
+    orig = yamlio._fast_parse
+    yamlio._fast_parse = lambda t: (_ for _ in ()).throw(
+        yamlio._FallbackToYaml())
+    try:
+        load_yaml(slow, io.StringIO(text))
+    finally:
+        yamlio._fast_parse = orig
+
+    assert [c.uid for c in fast.captures] == [c.uid for c in slow.captures]
+    assert [t.id for t in fast.arucos] == [t.id for t in slow.arucos]
+    for a, b in zip(fast.captures, slow.captures):
+        np.testing.assert_array_equal(a.inv_pose, b.inv_pose)
+        assert a.img_fn == b.img_fn
+    for a, b in zip(fast.blocks, slow.blocks):
+        assert (a.cap_idx, a.tag_idx) == (b.cap_idx, b.tag_idx)
+        np.testing.assert_array_equal(a.corners, b.corners)
+    assert fast.camera.size == slow.camera.size
+    np.testing.assert_array_equal(fast.camera.params, slow.camera.params)
+    # adjacency lists must match too (bulk_add_blocks path)
+    for a, b in zip(fast.captures, slow.captures):
+        assert a.blocks == b.blocks
+    for a, b in zip(fast.arucos, slow.arucos):
+        assert a.blocks == b.blocks
+
+
+def test_yaml_hand_edited_falls_back():
+    """Reformatted (hand-edited / reference-written) YAML must still load —
+    through the PyYAML fallback — with identical content."""
+    import ar_slam_tpu.graph.yamlio as yamlio
+
+    text = """\
+# hand-edited checkpoint
+blocks:
+- capture: cap_0
+  aruco: aruco_4X4_50_7
+  aruco_rect: [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+captures:
+  cap_0:
+    inv_pose: [0.1, 0.2, 0.3, 0.0, 0.0, 0.0]
+    img_fn: "img with space.jpg"
+arucos:
+  aruco_4X4_50_7:
+    pose: [0, 0, 0, 0, 0, 0]
+camera:
+  params: [3000.0, 0.0, 0.0]
+  width: 640
+  height: 480
+"""
+    with pytest.raises(yamlio._FallbackToYaml):
+        yamlio._fast_parse(text)
+    store = MapStore()
+    load_yaml(store, io.StringIO(text))
+    assert [c.uid for c in store.captures] == ["cap_0"]
+    assert store.captures[0].img_fn == "img with space.jpg"
+    assert len(store.blocks) == 1
+    np.testing.assert_array_equal(
+        store.blocks[0].corners, np.arange(1.0, 9.0).reshape(4, 2))
+    assert store.camera.size == (640, 480)
+
+
+def test_bulk_add_blocks_matches_add_block():
+    """bulk_add_blocks == repeated add_block, python AND native mirrors."""
+    rng = np.random.default_rng(5)
+    corners = rng.normal(size=(7, 4, 2))
+    cap_idx = np.array([0, 0, 1, 1, 1, 0, 1], np.int32)
+    tag_idx = np.array([0, 1, 0, 1, 2, 2, 1], np.int32)
+
+    one, bulk = MapStore(), MapStore()
+    for s in (one, bulk):
+        for c in ("cap_0", "cap_1"):
+            s.add_capture(c)
+        for t in ("t0", "t1", "t2"):
+            s.add_aruco(t)
+    for k in range(7):
+        one.add_block(corners[k], int(cap_idx[k]), int(tag_idx[k]))
+    bulk.bulk_add_blocks(corners, cap_idx, tag_idx)
+
+    for a, b in zip(one.blocks, bulk.blocks):
+        assert (a.index, a.cap_idx, a.tag_idx) == (b.index, b.cap_idx,
+                                                   b.tag_idx)
+        np.testing.assert_array_equal(a.corners, b.corners)
+    for a, b in zip(one.captures, bulk.captures):
+        assert a.blocks == b.blocks
+    for a, b in zip(one.arucos, bulk.arucos):
+        assert a.blocks == b.blocks
+    if one._native is not None:
+        ea, eb = one._native.export_blocks(), bulk._native.export_blocks()
+        for x, y in zip(ea, eb):
+            np.testing.assert_array_equal(x, y)
