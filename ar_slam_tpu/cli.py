@@ -427,6 +427,7 @@ def _config(args):
         cfg = dataclasses.replace(
             cfg,
             solver=dataclasses.replace(cfg.solver, seed_mode="frontal",
+                                       seed_anchors="single",
                                        localize_unknown_tags=True),
             camera=dataclasses.replace(cfg.camera, focal_init_mode="fixed"),
         )

@@ -72,6 +72,14 @@ class SolverConfig:
     # "hybrid": frontal + homography seed candidates, keep the lower-residual
     # one (robust to tag tilt).  "frontal": reference-parity heuristic only.
     seed_mode: str = "hybrid"
+    # "multi": seed a new capture from ALL its observations of already-
+    # initialized tags (per-anchor candidates + their quaternion/position
+    # mean, scored by total anchor reprojection cost) — averaging over k
+    # anchors shrinks per-hop seed error ~sqrt(k), which keeps chained BFS
+    # seeding in the convergence basin at 10k-tag scale.  "single": the
+    # reference's one-init_block seed (ar_slam_util.cpp:803-807; set by
+    # --parity).  With one anchor the two are identical.
+    seed_anchors: str = "multi"
     # Localization parity: the reference's localizeOne adds residual blocks
     # for tags ABSENT from the map too, holding their never-initialized
     # zero poses constant (ar_slam_util.cpp:950-972) — which drags the
@@ -85,6 +93,19 @@ class SolverConfig:
     # refinement for a large batch-mapping speedup (seeding still runs
     # every wave, in the same compiled program with zero LM iterations).
     optimize_every: int = 1
+    # Geometric optimize schedule on top of optimize_every: when > 1, also
+    # optimize at waves 1, ceil(1*g), ceil(ceil(1*g)*g), ... — frequent
+    # full solves early (where chained seed drift compounds: a fresh
+    # capture seeds off a tag seeded off an earlier capture) and sparse
+    # ones once the map is established.  0 (default) = fixed-stride only.
+    # Large batch maps (10k tags) DIVERGE with a bare stride of 256;
+    # growth 1.25 converges to the noise floor at ~50 optimizes total.
+    optimize_growth: float = 0.0
+    # Extra LM iterations for ONE final pass after the last wave (0 = off).
+    # Construction waves can run a small per-wave budget (max_iterations)
+    # for throughput; the polish reuses the same compiled program via the
+    # traced iteration budget, so it costs zero extra compiles.
+    final_polish_iterations: int = 0
 
 
 @dataclass(frozen=True)

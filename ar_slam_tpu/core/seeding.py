@@ -225,3 +225,92 @@ def seed_capture_pose(corners, camera, ar_pose, aruco_size,
     c_f = _rect_cost(camera, frontal, ar_pose, corners, aruco_size)
     c_h = _rect_cost(camera, homog, ar_pose, corners, aruco_size)
     return jnp.where(c_h < c_f, homog, frontal)
+
+
+def seed_capture_pose_multi(anchor_corners, camera, anchor_tag_poses,
+                            anchor_mask, aruco_size, mode: str = "hybrid"):
+    """Seed a capture's inverse pose from ALL its observations of already-
+    initialized tags (anchors).
+
+    Per-anchor candidate poses come from ``seed_capture_pose``; their
+    masked position mean + quaternion (chordal) rotation mean joins them as
+    one more candidate, and the winner is the candidate with the lowest
+    total reprojection cost over the anchors.  With ONE valid anchor this
+    reduces exactly to ``seed_capture_pose`` — the reference's single
+    init_block seed (ar_slam_util.cpp:803-807, :91-108).  Averaging over k
+    anchors shrinks the per-hop seed error ~sqrt(k): the difference between
+    chained BFS seeding drifting out of the convergence basin at 10k-tag
+    scale and staying in it.
+
+    Args:
+      anchor_corners: (S, 4, 2) detected rects.
+      anchor_tag_poses: (S, 6) world poses of the anchors' tags.
+      anchor_mask: (S,) bool valid-anchor mask (at least one True when the
+        result is used; the caller keeps the old pose otherwise).
+    Returns: (6,) inverse capture pose.
+    """
+    import jax
+
+    from ar_slam_tpu.core.lie import (axis_angle_to_quaternion,
+                                      quaternion_to_axis_angle)
+
+    cands = jax.vmap(
+        lambda c, t: seed_capture_pose(c, camera, t, aruco_size, mode=mode)
+    )(anchor_corners, anchor_tag_poses)  # (S, 6)
+    m = anchor_mask.astype(cands.dtype)
+    denom = jnp.maximum(m.sum(), 1.0)
+    pos_mean = (cands[:, 0:3] * m[:, None]).sum(0) / denom
+    q = jax.vmap(axis_angle_to_quaternion)(cands[:, 3:6])  # (S, 4)
+    q0 = q[jnp.argmax(anchor_mask)]  # first valid anchor's quaternion
+    sign = jnp.where(jnp.sum(q * q0, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
+    qm = (q * sign * m[:, None]).sum(0)
+    qm = qm / jnp.maximum(jnp.linalg.norm(qm), 1e-12)
+    mean_pose = jnp.concatenate([pos_mean, quaternion_to_axis_angle(qm)])
+
+    all_cands = jnp.concatenate([cands, mean_pose[None]], axis=0)  # (S+1, 6)
+
+    def total_cost(pose):
+        costs = jax.vmap(
+            lambda c, t: _rect_cost(camera, pose, t, c, aruco_size)
+        )(anchor_corners, anchor_tag_poses)
+        return jnp.sum(jnp.where(anchor_mask, costs, 0.0))
+
+    scores = jax.vmap(total_cost)(all_cands)  # (S+1,)
+    scores = jnp.concatenate(
+        [jnp.where(anchor_mask, scores[:-1], jnp.inf), scores[-1:]])
+    best = all_cands[jnp.argmin(scores)]
+
+    # pose-only Gauss-Newton refinement against the anchors (incremental-
+    # SfM resectioning): a few guarded damped steps on the 6-dof capture
+    # pose with the anchor tags held fixed.  The averaged/selected
+    # candidate alone can be a poor compromise when the anchors' own seed
+    # poses disagree; the refit is what actually minimizes the anchor
+    # reprojection error.
+    from ar_slam_tpu.solve.residuals import block_residual
+
+    def anchor_residuals(pose):
+        rs = jax.vmap(
+            lambda c, t: block_residual(camera, pose, t, c, aruco_size)
+        )(anchor_corners, anchor_tag_poses)  # (S, 8)
+        rs = jnp.where(anchor_mask[:, None], rs, 0.0)
+        rs = jnp.where(jnp.isfinite(rs), rs, 0.0)
+        return rs.reshape(-1)
+
+    def gn_step(pose, _):
+        r = anchor_residuals(pose)
+        jac = jax.jacfwd(anchor_residuals)(pose)  # (S*8, 6)
+        h = jac.T @ jac + 1e-4 * jnp.eye(6, dtype=pose.dtype)
+        step = jnp.linalg.solve(h, jac.T @ r)
+        new = pose - step
+        new = jnp.where(jnp.isfinite(new), new, pose)
+        better = total_cost(new) < total_cost(pose)
+        return jnp.where(better, new, pose), None
+
+    import jax.lax
+
+    best, _ = jax.lax.scan(gn_step, best, None, length=3)
+
+    # exactly one anchor: return its candidate verbatim (bit-identical to
+    # seed_capture_pose, the reference's single init_block seed)
+    first = cands[jnp.argmax(anchor_mask)]
+    return jnp.where(m.sum() == 1.0, first, best)

@@ -601,7 +601,8 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
     @jax.jit
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
-            seed_cap, seed_block, tag_init_blocks, lm_enabled=True):
+            seed_cap, seed_block, tag_init_blocks, anchor_rows, anchor_mask,
+            lm_enabled=True):
         from ar_slam_tpu.solve.batch import apply_wave_seeds
 
         n_caps = cap_poses.shape[0]
@@ -612,7 +613,8 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
         # row indices into it); grouping follows
         cap_poses, tag_poses = apply_wave_seeds(
             camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-            seed_cap, seed_block, tag_init_blocks, aruco_size, seed_mode,
+            seed_cap, seed_block, tag_init_blocks, anchor_rows, anchor_mask,
+            aruco_size, seed_mode,
         )
         make_group, make_lin, make_quality, make_quality_lin, make_solve = (
             make_tag_sharded_hooks(

@@ -18,13 +18,15 @@ O(log n) times as the map grows.
 from __future__ import annotations
 
 import logging
+import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ar_slam_tpu.core.seeding import seed_capture_pose, seed_tag_pose
+from ar_slam_tpu.core.seeding import (seed_capture_pose,
+                                      seed_capture_pose_multi, seed_tag_pose)
 from ar_slam_tpu.graph.arrays import export_arrays, write_back
 from ar_slam_tpu.graph.store import MapStore
 from ar_slam_tpu.solve.lm import LMConfig, lm_solve
@@ -33,42 +35,52 @@ logger = logging.getLogger(__name__)
 
 
 def apply_wave_seeds_multi(camera, cap_poses, tag_poses, cap_idx, tag_idx,
-                           corners, seed_caps, seed_blocks, tag_init_blocks,
-                           tag_init_wave, aruco_size, seed_mode):
+                           corners, seed_caps, seed_blocks, wave_tags,
+                           wave_rows, wave_mask, anchor_rows, anchor_mask,
+                           aruco_size, seed_mode):
     """Seed a SEQUENCE of waves in one traced scan (wave w seeds its
     capture, then initializes the tags first seen in wave w — through the
     freshly seeded capture, like the per-wave prologue).
+
+    The per-wave tag inits come as (W, S) SLOT TABLES, not (T,) masks: the
+    scan body then touches only each wave's <= S new tags.  The earlier
+    per-tag form vmapped the seed math over ALL T tags every wave (W*T
+    seed evaluations per flush) and its in-scan (T,)-indexed gathers from
+    the block/pose tables lowered as tags x blocks / tags x tags
+    broadcast-selects — 10-50 GB intermediates at 10k tags / 263k blocks.
 
     Args:
       seed_caps: (W,) int32 capture index per wave.
       seed_blocks: (W,) int32 seed block row per wave (-1 = keep pose /
         padding wave).
-      tag_init_blocks: (T,) int32 block row initializing each tag (-1 =
-        keep).  INVARIANT: the referenced block belongs to the capture
-        seeded in ``tag_init_wave[t]`` (lazy tag init through the freshly
-        seeded capture, ar_slam_util.cpp:817-824) — the seed reads that
-        wave's capture pose, not a per-tag gather (which XLA lowered as a
-        tags x captures broadcast inside the scan at 10k-tag scale).
-      tag_init_wave: (T,) int32 wave at which the tag initializes.
+      wave_tags: (W, S) int32 tag indices first seen per wave.
+      wave_rows: (W, S) int32 block row seeding each of those tags; the
+        block belongs to the wave's capture (lazy tag init through the
+        freshly seeded capture, ar_slam_util.cpp:817-824), so the seed
+        reads that wave's capture pose.
+      wave_mask: (W, S) bool valid-slot mask.
+      anchor_rows: (W, Sa) int32 block rows of the wave capture's
+        observations of ALREADY-initialized tags — the capture seed
+        averages over all of them (seed_capture_pose_multi); parity mode
+        passes exactly the single init_block.
+      anchor_mask: (W, Sa) bool.
     """
-    t_ids = jnp.arange(tag_poses.shape[0], dtype=jnp.int32)
-    # hoist the wave-invariant (T,)-indexed gathers from the B-sized block
-    # tables OUT of the scan: inside the scan body XLA lowered
-    # ``corners[tag_init_blocks]`` as a broadcast-select over tags x blocks
-    # — an f32[T_pad, B_pad, 4, 2] intermediate that breaks the int32
-    # allocation bound at 10k tags / 263k blocks
-    safe_init = jnp.maximum(tag_init_blocks, 0)
-    init_corners = corners[safe_init]  # (T, 4, 2)
+    # block-table gathers hoisted out of the scan ((W, S, ...) — small)
+    init_corners = corners[jnp.maximum(wave_rows, 0)]
+    anc_corners = corners[jnp.maximum(anchor_rows, 0)]  # (W, Sa, 4, 2)
+    anc_tags = tag_idx[jnp.maximum(anchor_rows, 0)]  # (W, Sa)
+    t_total = tag_poses.shape[0]
 
     def body(carry, wave):
         cap_poses, tag_poses = carry
-        w, seed_cap, seed_block = wave
+        (seed_cap, seed_block, crn_w, tags_w, mask_w, anc_crn_w,
+         anc_tags_w, anc_mask_w) = wave
 
         def seed_pose(cp):
-            blk_corners = corners[seed_block]
-            tag_pose = tag_poses[tag_idx[seed_block]]
-            pose = seed_capture_pose(blk_corners, camera, tag_pose,
-                                     aruco_size, mode=seed_mode)
+            anchor_tag_poses = tag_poses[anc_tags_w]  # (Sa, 6)
+            pose = seed_capture_pose_multi(
+                anc_crn_w, camera, anchor_tag_poses, anc_mask_w,
+                aruco_size, mode=seed_mode)
             return cp.at[seed_cap].set(pose)
 
         cap_poses = jax.lax.cond(seed_block >= 0, seed_pose,
@@ -77,28 +89,26 @@ def apply_wave_seeds_multi(camera, cap_poses, tag_poses, cap_idx, tag_idx,
         # through it (invariant above)
         cap_pose_w = cap_poses[seed_cap]
 
-        def seed_tag(t, blk_corners, init_blk, init_w):
-            def do():
-                return seed_tag_pose(blk_corners, camera, cap_pose_w,
-                                     aruco_size, mode=seed_mode)
+        def seed_one(blk_corners):
+            return seed_tag_pose(blk_corners, camera, cap_pose_w,
+                                 aruco_size, mode=seed_mode)
 
-            return jax.lax.cond((init_blk >= 0) & (init_w == w), do,
-                                lambda: tag_poses[t])
-
-        tag_poses = jax.vmap(seed_tag)(t_ids, init_corners,
-                                       tag_init_blocks, tag_init_wave)
+        cand = jax.vmap(seed_one)(crn_w)  # (S, 6)
+        # masked row scatter; padding slots target row T -> dropped
+        tgt = jnp.where(mask_w, tags_w, t_total)
+        tag_poses = tag_poses.at[tgt].set(cand, mode="drop")
         return (cap_poses, tag_poses), None
 
-    n_waves = seed_caps.shape[0]
-    waves = (jnp.arange(n_waves, dtype=jnp.int32), seed_caps, seed_blocks)
-    (cap_poses, tag_poses), _ = jax.lax.scan(body, (cap_poses, tag_poses),
-                                             waves)
+    (cap_poses, tag_poses), _ = jax.lax.scan(
+        body, (cap_poses, tag_poses),
+        (seed_caps, seed_blocks, init_corners, wave_tags, wave_mask,
+         anc_corners, anc_tags, anchor_mask))
     return cap_poses, tag_poses
 
 
 def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-                     seed_cap, seed_block, tag_init_blocks, aruco_size,
-                     seed_mode):
+                     seed_cap, seed_block, tag_init_blocks, anchor_rows,
+                     anchor_mask, aruco_size, seed_mode):
     """Wave prologue (traceable): optional capture seeding + lazy tag init.
 
     Args:
@@ -108,14 +118,19 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
         ar_slam_util.cpp:803-807).
       tag_init_blocks: (T,) int32 — per tag, the block row to initialize
         its pose from (through the freshly seeded capture), or -1 to keep.
+      anchor_rows: (Sa,) int32 block rows of the capture's observations of
+        already-initialized tags (multi-anchor seed; parity passes just the
+        init_block).
+      anchor_mask: (Sa,) bool.
     Returns (cap_poses, tag_poses) with seeds applied.
     """
+    anc_corners = corners[jnp.maximum(anchor_rows, 0)]  # (Sa, 4, 2)
+    anc_tags = tag_idx[jnp.maximum(anchor_rows, 0)]  # (Sa,)
 
     def seed_pose(cp):
-        blk_corners = corners[seed_block]
-        tag_pose = tag_poses[tag_idx[seed_block]]
-        pose = seed_capture_pose(blk_corners, camera, tag_pose, aruco_size,
-                                 mode=seed_mode)
+        pose = seed_capture_pose_multi(
+            anc_corners, camera, tag_poses[anc_tags], anchor_mask,
+            aruco_size, mode=seed_mode)
         return cp.at[seed_cap].set(pose)
 
     cap_poses = jax.lax.cond(
@@ -130,17 +145,12 @@ def apply_wave_seeds(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
     init_corners = corners[safe_init]  # (T, 4, 2)
     cap_pose_w = cap_poses[seed_cap]
 
-    def seed_tag(t, blk_corners, init_blk):
-        def do():
-            return seed_tag_pose(blk_corners, camera, cap_pose_w, aruco_size,
-                                 mode=seed_mode)
+    def seed_one(blk_corners):
+        return seed_tag_pose(blk_corners, camera, cap_pose_w, aruco_size,
+                             mode=seed_mode)
 
-        return jax.lax.cond(init_blk >= 0, do, lambda: tag_poses[t])
-
-    tag_poses = jax.vmap(seed_tag)(
-        jnp.arange(tag_poses.shape[0], dtype=jnp.int32), init_corners,
-        tag_init_blocks
-    )
+    cand = jax.vmap(seed_one)(init_corners)  # (T, 6)
+    tag_poses = jnp.where((tag_init_blocks >= 0)[:, None], cand, tag_poses)
     return cap_poses, tag_poses
 
 
@@ -161,8 +171,11 @@ def solve_wave_multi(
     tag_active,
     seed_caps,
     seed_blocks,
-    tag_init_blocks,
-    tag_init_wave,
+    wave_tags,
+    wave_rows,
+    wave_mask,
+    anchor_rows,
+    anchor_mask,
     lm_enabled,
     *,
     aruco_size: float,
@@ -174,6 +187,7 @@ def solve_wave_multi(
     row_slots: int | None = None,
     tag_rows: int | None = None,
     cap_rows: int | None = None,
+    iter_budget=None,
 ):
     """A BATCH of solver waves in one device call: the whole accumulated
     seed sequence (lax.scan) followed by at most one LM solve.  With
@@ -181,8 +195,8 @@ def solve_wave_multi(
     each through the tunnel) into one."""
     cap_poses, tag_poses = apply_wave_seeds_multi(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
-        seed_caps, seed_blocks, tag_init_blocks, tag_init_wave, aruco_size,
-        seed_mode,
+        seed_caps, seed_blocks, wave_tags, wave_rows, wave_mask,
+        anchor_rows, anchor_mask, aruco_size, seed_mode,
     )
     return lm_solve(
         camera, cap_poses, tag_poses, cap_idx, tag_idx, corners, block_mask,
@@ -190,7 +204,7 @@ def solve_wave_multi(
         aruco_size=aruco_size, config=config, assemble_fn=assemble_fn,
         enabled=lm_enabled, obs_per_tag=obs_per_tag,
         obs_per_cap=obs_per_cap, row_slots=row_slots, tag_rows=tag_rows,
-        cap_rows=cap_rows,
+        cap_rows=cap_rows, iter_budget=iter_budget,
     )
 
 
@@ -215,7 +229,10 @@ def _maybe_calibrate_focal(store: MapStore, config) -> None:
 
 def _lm_config(cfg, camera_cfg=None) -> LMConfig:
     return LMConfig(
-        max_iterations=cfg.max_iterations,
+        # static loop bound covers the final polish; per-wave budgets are
+        # passed as the TRACED iter_budget (one compiled program for both)
+        max_iterations=max(cfg.max_iterations,
+                           getattr(cfg, "final_polish_iterations", 0)),
         initial_lambda=cfg.initial_lambda,
         min_lambda=cfg.min_lambda,
         max_lambda=cfg.max_lambda,
@@ -278,6 +295,15 @@ class _WaveRunner:
             need_c = sum(-(-max(len(c.blocks), 1) // self.row_slots)
                          for c in store.captures) or 1
             self.cap_rows = obs_bucket(need_c)
+        # fixed flush padding: every fused multi-wave dispatch pads its wave
+        # axis to the optimize_every bucket and its tag-init slot axis to
+        # obs_per_cap, so ONE compiled program serves every flush (variable
+        # buckets re-jitted per distinct size — at 10k-tag scale each remote
+        # compile costs minutes); padding waves/slots are no-ops
+        from ar_slam_tpu.graph.arrays import bucket_size
+
+        self.w_fixed = bucket_size(
+            max(getattr(solver_cfg, "optimize_every", 1), 1), floor=1)
         # block row lookup: store block index -> device row (identity for
         # the single-device path; partition permutation for the mesh path)
         self.row_of_block = np.arange(b_pad, dtype=np.int32)
@@ -325,6 +351,20 @@ class _WaveRunner:
         # accumulated seed-only waves awaiting one fused device call
         self._pending: list[tuple[int, int]] = []  # (cap_index, seed_row)
         self._pending_tag_inits: list[tuple[int, int, int]] = []  # (t, row, w)
+        self._pending_anchors: list[tuple[int, int]] = []  # (w, row)
+        self.seed_anchors = getattr(solver_cfg, "seed_anchors", "multi")
+        # per-wave LM budget (traced); config.max_iterations is the static
+        # bound and covers final_polish_iterations too (_lm_config)
+        self.wave_budget = solver_cfg.max_iterations
+
+    def polish(self, budget: int):
+        """One extra LM pass (no new seeds) with a bigger iteration budget
+        — same compiled program (traced budget).  Single-device path only;
+        the dist wave program has a static budget."""
+        if self._dist_wave is not None or budget <= 0:
+            return self.last_info
+        self._pending.append((0, -1))  # seed-nothing wave
+        return self._flush(lm_enabled=True, iter_budget=budget)
 
     def run_wave(self, cap_index: int, seed_block: int | None,
                  optimize: bool = True):
@@ -335,6 +375,7 @@ class _WaveRunner:
         self.active_caps.add(cap_index)
 
         init_pairs = []  # (old tag idx, device block row)
+        anchor_rows = []  # blocks whose tags were ALREADY initialized
         for bh in cap.blocks:
             block = store.blocks[bh]
             self.active_blocks[bh] = True
@@ -343,6 +384,8 @@ class _WaveRunner:
             if not self.tag_initialized[t]:
                 self.tag_initialized[t] = True
                 init_pairs.append((t, self.row_of_block[bh]))
+            else:
+                anchor_rows.append(int(self.row_of_block[bh]))
 
         seed_row = -1 if seed_block is None else int(
             self.row_of_block[seed_block]
@@ -355,6 +398,12 @@ class _WaveRunner:
             self._pending.append((cap_index, seed_row))
             for t, row in init_pairs:
                 self._pending_tag_inits.append((t, int(row), w))
+            if seed_row >= 0:
+                if self.seed_anchors == "multi":
+                    for row in anchor_rows:
+                        self._pending_anchors.append((w, row))
+                else:  # reference parity: the single init_block only
+                    self._pending_anchors.append((w, seed_row))
             if optimize:
                 return self._flush(lm_enabled=True)
             return None
@@ -365,13 +414,25 @@ class _WaveRunner:
         for t, row in init_pairs:
             tag_init_blocks[tag_inv[t]] = row
 
+        # capture-seed anchors, replicated (Sa,) slot arrays
+        if self.seed_anchors != "multi" and seed_row >= 0:
+            anchor_rows = [seed_row]
+        sa = self._prob.obs_per_cap
+        anc_rows = np.zeros(sa, dtype=np.int32)
+        anc_mask = np.zeros(sa, dtype=bool)
+        if seed_row >= 0:
+            k = min(len(anchor_rows), sa)
+            anc_rows[:k] = anchor_rows[:k]
+            anc_mask[:k] = True
+
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
         prob = self._prob
-        (cam_a, cap_a, seed_c, seed_b, lm_en) = prob.put_rep(
+        (cam_a, cap_a, seed_c, seed_b, anc_r, anc_m, lm_en) = prob.put_rep(
             np.asarray(True), cap_active,
             np.asarray(cap_index, np.int32),
             np.asarray(seed_row, np.int32),
+            anc_rows, anc_mask,
             np.asarray(optimize),
         )
         (self.camera, self.cap_poses, self.tag_poses, info) = (
@@ -381,14 +442,18 @@ class _WaveRunner:
                 prob.block_mask(self.active_blocks),
                 cam_a, cap_a, prob.put_tag_mask(self.active_tags.copy()),
                 seed_c, seed_b, prob.put_blocks(tag_init_blocks),
+                anc_r, anc_m,
                 lm_en,
             )
         )
         self.last_info = info
         return info
 
-    def _flush(self, lm_enabled: bool):
+    def _flush(self, lm_enabled: bool, iter_budget: int | None = None):
         """Dispatch the accumulated waves as one fused device call.
+
+        ``iter_budget`` overrides the per-wave LM budget (traced — same
+        compiled program; used by the final polish).
 
         NOTE: active_blocks / active_tags are mutated in place across waves
         while dispatch is async; jnp.asarray on CPU may alias the host
@@ -396,22 +461,45 @@ class _WaveRunner:
         """
         if not self._pending:
             return self.last_info
+        budget = jnp.asarray(
+            self.wave_budget if iter_budget is None else iter_budget,
+            jnp.int32)
+        t_flush = time.time()
         n = len(self._pending)
         from ar_slam_tpu.graph.arrays import bucket_size
 
-        w_pad = bucket_size(n, floor=1)
+        w_pad = max(bucket_size(n, floor=1), self.w_fixed)
         seed_caps = np.zeros(w_pad, dtype=np.int32)
         seed_blocks = np.full(w_pad, -1, dtype=np.int32)
         for w, (cap_index, seed_row) in enumerate(self._pending):
             seed_caps[w] = cap_index
             seed_blocks[w] = seed_row
-        tag_init_blocks = np.full(self.t_pad, -1, dtype=np.int32)
-        tag_init_wave = np.zeros(self.t_pad, dtype=np.int32)
+        # per-wave tag-init slot tables (W, S): S fixed at the padded
+        # max-observations-per-capture (new tags per wave <= blocks of the
+        # wave's capture), so the slot axis never re-jits
+        s_pad = self.obs_per_cap
+        wave_tags = np.zeros((w_pad, s_pad), dtype=np.int32)
+        wave_rows = np.zeros((w_pad, s_pad), dtype=np.int32)
+        wave_mask = np.zeros((w_pad, s_pad), dtype=bool)
+        slot = np.zeros(n, dtype=np.int64)
         for t, row, w in self._pending_tag_inits:
-            tag_init_blocks[t] = row
-            tag_init_wave[t] = w
+            s = slot[w]
+            wave_tags[w, s] = t
+            wave_rows[w, s] = row
+            wave_mask[w, s] = True
+            slot[w] += 1
+        # capture-seed anchor tables (same fixed slot width)
+        anchor_rows = np.zeros((w_pad, s_pad), dtype=np.int32)
+        anchor_mask = np.zeros((w_pad, s_pad), dtype=bool)
+        slot[:] = 0
+        for w, row in self._pending_anchors:
+            s = slot[w]
+            anchor_rows[w, s] = row
+            anchor_mask[w, s] = True
+            slot[w] += 1
         self._pending.clear()
         self._pending_tag_inits.clear()
+        self._pending_anchors.clear()
 
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
@@ -428,7 +516,9 @@ class _WaveRunner:
                     jnp.asarray(True), jnp.asarray(cap_active),
                     jnp.asarray(self.active_tags.copy()),
                     jnp.asarray(seed_caps), jnp.asarray(seed_blocks),
-                    jnp.asarray(tag_init_blocks), jnp.asarray(tag_init_wave),
+                    jnp.asarray(wave_tags), jnp.asarray(wave_rows),
+                    jnp.asarray(wave_mask), jnp.asarray(anchor_rows),
+                    jnp.asarray(anchor_mask),
                     jnp.asarray(False),
                     aruco_size=self.aruco_size, config=self.config,
                     assemble_fn=self.assemble_fn, seed_mode=self.seed_mode,
@@ -450,8 +540,11 @@ class _WaveRunner:
                 jnp.asarray(self.active_tags.copy()),
                 jnp.asarray(seed_caps),
                 jnp.asarray(seed_blocks),
-                jnp.asarray(tag_init_blocks),
-                jnp.asarray(tag_init_wave),
+                jnp.asarray(wave_tags),
+                jnp.asarray(wave_rows),
+                jnp.asarray(wave_mask),
+                jnp.asarray(anchor_rows),
+                jnp.asarray(anchor_mask),
                 jnp.asarray(lm_enabled),
                 aruco_size=self.aruco_size,
                 config=self.config,
@@ -462,9 +555,16 @@ class _WaveRunner:
                 row_slots=self.row_slots,
                 tag_rows=self.tag_rows,
                 cap_rows=self.cap_rows,
+                iter_budget=budget,
             )
         )
         self.last_info = info
+        if logger.isEnabledFor(logging.DEBUG):
+            # forces a device sync — debug only
+            logger.debug(
+                "flush: %d waves (pad %d) lm=%s iters=%s cost=%.6g %.2fs",
+                n, w_pad, bool(lm_enabled), int(info["iterations"]),
+                float(info["cost"]), time.time() - t_flush)
         return info
 
     def _lm_host_stepped(self, cap_active):
@@ -609,13 +709,25 @@ def solve(store: MapStore, config=None, dtype=None, assemble_fn=None,
     runner = _WaveRunner(store, config.solver, config.aruco_size, dtype,
                          assemble_fn, mesh=mesh, camera_cfg=config.camera)
     every = max(getattr(config.solver, "optimize_every", 1), 1)
+    # geometric marks: optimize after waves 1, ceil(g), ceil(ceil(g)*g), …
+    # — frequent early full solves keep chained seed drift bounded while
+    # the fixed stride amortizes the established-map phase
+    growth = float(getattr(config.solver, "optimize_growth", 0.0) or 0.0)
+    geo_marks: set[int] = set()
+    if growth > 1.0:
+        nxt = 1
+        while nxt <= len(order):
+            geo_marks.add(nxt - 1)
+            nxt = max(nxt + 1, int(np.ceil(nxt * growth)))
     for i, cap_index in enumerate(order):
         seed_block = None
         if cap_index != seed:
             seed_block = store.captures[cap_index].init_block
-        optimize = (i % every == every - 1) or (i == len(order) - 1)
+        optimize = ((i % every == every - 1) or (i == len(order) - 1)
+                    or i in geo_marks)
         runner.run_wave(cap_index, seed_block, optimize=optimize)
         store.unsolved_captures.discard(cap_index)
+    runner.polish(getattr(config.solver, "final_polish_iterations", 0))
     runner.finish()
 
     info = runner.last_info

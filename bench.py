@@ -104,36 +104,36 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         def run(n):
             # traced iteration budget: ONE compiled program serves both
             # timing points
-            cam, caps, tags, info = lm_solve(
+            return lm_solve(
                 *args[:7], cam_a, cap_m, tag_m,
                 aruco_size=0.0635, config=config,
                 iter_budget=jnp.asarray(n, jnp.int32),
                 obs_per_tag=obs_per_tag, obs_per_cap=obs_per_cap,
                 row_slots=row_slots, tag_rows=tag_rows, cap_rows=cap_rows,
             )
-            return info
 
         def timed(n, reps=4):
             """Best-of-N repetition timing: single timed runs on this shared
             box spread −1%…42% (CLAUDE.md), so the minimum — not the mean —
             estimates the un-contended rate."""
             t0 = time.time()
-            info = run(n)
-            iters = int(info["iterations"])
+            out = run(n)
+            iters = int(out[3]["iterations"])
             compile_s = time.time() - t0
             walls = []
             for _ in range(reps):
                 t0 = time.time()
-                info = run(n)
-                int(info["iterations"])  # sync
+                out = run(n)
+                int(out[3]["iterations"])  # sync
                 walls.append(time.time() - t0)
             spread = (max(walls) - min(walls)) / max(min(walls), 1e-9)
-            return min(walls), iters, compile_s, info, spread
+            return min(walls), iters, compile_s, out, spread
 
         wall_lo, it_lo, compile_lo, _, _ = timed(n_lo)
         # second budget reuses the same compiled program (traced budget) —
         # its "compile" is just a warm dispatch
-        wall_hi, it_hi, _, info, spread = timed(n_iters)
+        wall_hi, it_hi, _, (_, caps_out, tags_out, info), spread = (
+            timed(n_iters))
         cost = float(info["cost"])
         if profile_dir:
             os.makedirs(profile_dir, exist_ok=True)
@@ -151,6 +151,11 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         "iterations": it_hi,
         "final_cost": cost,
         "rep_spread": spread,
+        # solved pose state (for accuracy columns: reprojection RMSE is
+        # sqrt(2*cost/(8*B)); ATE comes from comparing these to the
+        # generator's ground truth)
+        "cap_poses": np.asarray(caps_out),
+        "tag_poses": np.asarray(tags_out),
     }
 
 
@@ -319,13 +324,15 @@ def main():
     arrs, cap_poses, tag_poses = build_problem()
 
     accel = bench_lm(arrs, cap_poses, tag_poses, dev)
-    log(f"accel: {accel}")
+    log("accel: %s" % {k: v for k, v in accel.items()
+                       if not isinstance(v, np.ndarray)})
 
     # CPU float64 baseline (Ceres-equivalent single-host path)
     try:
         cpu = jax.devices("cpu")[0]
         base = bench_lm(arrs, cap_poses, tag_poses, cpu, n_iters=5, n_lo=1)
-        log(f"cpu baseline: {base}")
+        log("cpu baseline: %s" % {k: v for k, v in base.items()
+                                  if not isinstance(v, np.ndarray)})
         vs_baseline = accel["iters_per_s"] / base["iters_per_s"]
     except Exception as e:  # noqa: BLE001
         log(f"cpu baseline unavailable: {e}")

@@ -57,6 +57,22 @@ def main():
                    n_lo=max(args.iters // 4, 1), linear_solver=args.solver,
                    profile_dir=args.profile, cg_tol=args.cg_tol,
                    cg_iters=args.cg_iters)
+
+    # accuracy columns: reprojection RMSE from the final cost, and camera-
+    # trajectory ATE of the solved poses vs the generator's ground truth
+    # (arrs holds the TRUTH poses; the solver started from the perturbed
+    # copies).  Noise floor: the synthetic observations carry 0.3 px noise,
+    # so a converged solve lands near rmse_px ~= 0.3.
+    import numpy as np
+
+    from ar_slam_tpu.utils.ate import ate_rmse
+
+    n_blocks = int(arrs.n_blocks)
+    rmse_px = float(np.sqrt(2.0 * out["final_cost"] / (8 * n_blocks)))
+    truth_pos = -np.asarray(arrs.cap_poses[: arrs.n_caps, 0:3])
+    solved_pos = -np.asarray(out["cap_poses"][: arrs.n_caps, 0:3])
+    ate_m = ate_rmse(solved_pos, truth_pos)
+
     print(json.dumps({
         "metric": f"ba_iterations_per_s_{args.tags}tag_{args.caps}cap",
         "value": round(out["iters_per_s"], 3),
@@ -64,10 +80,12 @@ def main():
         "extra": {
             "device": str(dev),
             "solver": args.solver,
-            "blocks": int(arrs.n_blocks),
+            "blocks": n_blocks,
             "compile_s": round(out["compile_s"], 1),
             "final_cost": out["final_cost"],
             "iterations": out["iterations"],
+            "rmse_px": round(rmse_px, 4),
+            "ate_m": round(ate_m, 6),
         },
     }))
 

@@ -32,8 +32,26 @@ def main():
     ap.add_argument("--save", default="", metavar="PATH",
                     help="also save map.yaml and time the full "
                          "store->waves->map.yaml path (wall_to_map)")
+    ap.add_argument("--growth", type=float, default=0.0,
+                    help="geometric optimize schedule factor (e.g. 1.25): "
+                         "extra full solves early to bound seed-chain "
+                         "drift on large fresh maps")
+    ap.add_argument("--debug", action="store_true",
+                    help="per-flush wall/cost logging")
+    ap.add_argument("--loss", choices=["trivial", "huber"], default=None,
+                    help="robust loss during construction (huber bounds "
+                         "the influence of drifted seeds)")
+    ap.add_argument("--polish", type=int, default=0,
+                    help="extra LM iterations for one final pass after the "
+                         "last wave")
 
     args = ap.parse_args()
+    if args.debug:
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG, stream=sys.stderr,
+                            format="%(asctime)s %(name)s: %(message)s")
+        logging.getLogger("jax").setLevel(logging.INFO)
 
     if args.cpu:
         import jax
@@ -56,10 +74,14 @@ def main():
         extra = {}
         if args.solver:
             extra["linear_solver"] = args.solver
+        if args.loss:
+            extra["loss"] = args.loss
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(
                 cfg.solver, optimize_every=every,
-                max_iterations=args.iters, **extra))
+                max_iterations=args.iters, optimize_growth=args.growth,
+                final_polish_iterations=args.polish,
+                **extra))
         n = len(store.captures)
         t0 = time.time()
         out = solve(store, cfg)
