@@ -49,9 +49,17 @@ def _parse_floats(parts: list[str], per_row: int) -> np.ndarray:
     import warnings
 
     joined = ",".join(parts)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # np.fromstring text mode deprecation
-        vals = np.fromstring(joined, dtype=float, sep=",")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # fromstring text-mode deprecation
+            vals = np.fromstring(joined, dtype=float, sep=",")
+    except Exception:
+        # np.fromstring's text mode is deprecated and may be removed; the
+        # split-list constructor keeps float parsing in C (~2x slower)
+        try:
+            vals = np.array(joined.split(","), dtype=float)
+        except ValueError:
+            raise _FallbackToYaml() from None
     if vals.size != len(parts) * per_row:
         raise _FallbackToYaml()
     return vals.reshape(len(parts), per_row)
@@ -199,7 +207,9 @@ def load_yaml(store: MapStore, fn_or_stream) -> None:
     doc = yaml.load(text, Loader=_YAML_LOADER)
 
     for uid, cap_data in (doc.get("captures") or {}).items():
-        cap = store.add_capture(str(uid), str(cap_data.get("img_fn", "")))
+        # an empty img_fn is written as 'img_fn: ' which YAML parses as
+        # None — store '' (matching the fast path), not the string 'None'
+        cap = store.add_capture(str(uid), str(cap_data.get("img_fn") or ""))
         cap.inv_pose = np.asarray(cap_data["inv_pose"], dtype=float).copy()
 
     for tag_id, ar_data in (doc.get("arucos") or {}).items():

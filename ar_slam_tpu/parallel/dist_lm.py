@@ -602,7 +602,7 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
     def run(camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
             block_mask, cam_active, cap_active, tag_active,
             seed_cap, seed_block, tag_init_blocks, anchor_rows, anchor_mask,
-            lm_enabled=True):
+            lm_enabled=True, iter_budget=None):
         from ar_slam_tpu.solve.batch import apply_wave_seeds
 
         n_caps = cap_poses.shape[0]
@@ -639,6 +639,7 @@ def _dist_wave_solver(mesh, aruco_size, config, seed_mode, obs_per_tag,
                        tag_active, lin_fn, quality_fn, config,
                        enabled=lm_enabled, solve_fn=solve_fn,
                        solver_state0=solver_state0,
-                       quality_lin_fn=quality_lin_fn)
+                       quality_lin_fn=quality_lin_fn,
+                       iter_budget=iter_budget)
 
     return run

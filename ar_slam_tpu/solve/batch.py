@@ -359,10 +359,13 @@ class _WaveRunner:
 
     def polish(self, budget: int):
         """One extra LM pass (no new seeds) with a bigger iteration budget
-        — same compiled program (traced budget).  Single-device path only;
-        the dist wave program has a static budget."""
-        if self._dist_wave is not None or budget <= 0:
+        — same compiled program on both paths (traced iter_budget)."""
+        if budget <= 0:
             return self.last_info
+        if self._dist_wave is not None:
+            return self._dispatch_dist_wave(
+                cap_index=0, seed_row=-1, init_pairs=(), anchor_rows=(),
+                optimize=True, iter_budget=budget)
         self._pending.append((0, -1))  # seed-nothing wave
         return self._flush(lm_enabled=True, iter_budget=budget)
 
@@ -408,7 +411,13 @@ class _WaveRunner:
                 return self._flush(lm_enabled=True)
             return None
 
-        # distributed path: one device call per wave (unchanged)
+        # distributed path: one device call per wave
+        return self._dispatch_dist_wave(cap_index, seed_row, init_pairs,
+                                        anchor_rows, optimize,
+                                        self.wave_budget)
+
+    def _dispatch_dist_wave(self, cap_index, seed_row, init_pairs,
+                            anchor_rows, optimize, iter_budget):
         tag_inv = self._prob.prep["tag_inv"]
         tag_init_blocks = np.full(self.t_new, -1, dtype=np.int32)
         for t, row in init_pairs:
@@ -428,13 +437,15 @@ class _WaveRunner:
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
         prob = self._prob
-        (cam_a, cap_a, seed_c, seed_b, anc_r, anc_m, lm_en) = prob.put_rep(
-            np.asarray(True), cap_active,
-            np.asarray(cap_index, np.int32),
-            np.asarray(seed_row, np.int32),
-            anc_rows, anc_mask,
-            np.asarray(optimize),
-        )
+        (cam_a, cap_a, seed_c, seed_b, anc_r, anc_m, lm_en, budget) = (
+            prob.put_rep(
+                np.asarray(True), cap_active,
+                np.asarray(cap_index, np.int32),
+                np.asarray(seed_row, np.int32),
+                anc_rows, anc_mask,
+                np.asarray(optimize),
+                np.asarray(iter_budget, np.int32),
+            ))
         (self.camera, self.cap_poses, self.tag_poses, info) = (
             self._dist_wave(
                 self.camera, self.cap_poses, self.tag_poses,
@@ -443,7 +454,7 @@ class _WaveRunner:
                 cam_a, cap_a, prob.put_tag_mask(self.active_tags.copy()),
                 seed_c, seed_b, prob.put_blocks(tag_init_blocks),
                 anc_r, anc_m,
-                lm_en,
+                lm_en, budget,
             )
         )
         self.last_info = info
@@ -461,9 +472,9 @@ class _WaveRunner:
         """
         if not self._pending:
             return self.last_info
-        budget = jnp.asarray(
-            self.wave_budget if iter_budget is None else iter_budget,
-            jnp.int32)
+        budget_i = int(self.wave_budget if iter_budget is None
+                       else iter_budget)
+        budget = jnp.asarray(budget_i, jnp.int32)
         t_flush = time.time()
         n = len(self._pending)
         from ar_slam_tpu.graph.arrays import bucket_size
@@ -527,7 +538,7 @@ class _WaveRunner:
                     row_slots=self.row_slots, tag_rows=self.tag_rows,
                     cap_rows=self.cap_rows,
                 ))
-            self.last_info = self._lm_host_stepped(cap_active)
+            self.last_info = self._lm_host_stepped(cap_active, budget_i)
             return self.last_info
 
         (self.camera, self.cap_poses, self.tag_poses, info) = (
@@ -567,11 +578,14 @@ class _WaveRunner:
                 float(info["cost"]), time.time() - t_flush)
         return info
 
-    def _lm_host_stepped(self, cap_active):
+    def _lm_host_stepped(self, cap_active, budget: int):
         """One LM iteration per device call, printing ceres-style progress
         lines (≙ minimizer_progress_to_stdout, ar_slam_util.cpp:1012).
         The damping schedule threads through lam0/nu0 so the sequence of
-        (lambda, nu) matches the fused while_loop's exactly."""
+        (lambda, nu) matches the fused while_loop's exactly.  ``budget`` is
+        the wave's iteration budget (the static config.max_iterations is
+        inflated to cover final_polish_iterations and must not bound
+        ordinary waves)."""
         import time as _time
 
         from ar_slam_tpu.solve.lm import TERMINATION_REASONS, lm_solve
@@ -584,7 +598,7 @@ class _WaveRunner:
         print("iter      cost      cost_change  |gradient|  "
               "tr_radius   iter_time  total_time")
         info = None
-        for it in range(cfg.max_iterations):
+        for it in range(min(budget, cfg.max_iterations)):
             t0 = _time.time()
             (self.camera, self.cap_poses, self.tag_poses, info) = lm_solve(
                 self.camera, self.cap_poses, self.tag_poses,

@@ -112,13 +112,14 @@ def make_synthetic_map(
     for c0 in range(0, n_caps, chunk):
         c1 = min(c0 + chunk, n_caps)
         r_inv = Rotation.from_rotvec(cap_poses[c0:c1, 3:6]).as_matrix()
-        # p_c[k] = (p_w + pos_k) @ R_k^T  =  p_w @ R_k^T + (R_k @ pos_k);
-        # batched GEMM layout — einsum's generic contraction here is slower
-        # than the per-capture loop it replaces
+        # p_c[k] = (p_w + pos_k) @ R_k^T as a batched GEMM — the SAME
+        # contraction order as the per-capture loop this replaced, so
+        # seeded fixtures stay bit-identical (a factored
+        # p_w@R^T + R@pos form rounds differently and could flip a tag
+        # sitting exactly on the visibility boundary, desyncing the RNG)
         flat = p_w.reshape(-1, 3)  # (T*4, 3)
-        p_c = np.matmul(flat[None], r_inv.transpose(0, 2, 1))  # (K, T*4, 3)
-        p_c += np.einsum("kij,kj->ki", r_inv,
-                         cap_poses[c0:c1, 0:3])[:, None, :]
+        shifted = flat[None] + cap_poses[c0:c1, None, 0:3]  # (K, T*4, 3)
+        p_c = np.matmul(shifted, r_inv.transpose(0, 2, 1))
         p_c = p_c.reshape(c1 - c0, -1, 4, 3)
         z_ok = np.all(p_c[:, :, :, 2] > 0.1, axis=2)  # (K, T)
         with np.errstate(divide="ignore", invalid="ignore"):

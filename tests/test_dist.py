@@ -97,6 +97,50 @@ def test_wave_driver_dist_matches_single():
         np.testing.assert_allclose(t1.pose, t2.pose, rtol=1e-3, atol=1e-6)
 
 
+def test_wave_driver_dist_polish_matches_single():
+    """final_polish_iterations > max_iterations: per-wave LM must still be
+    capped at max_iterations on BOTH paths (the static loop bound is
+    inflated to cover the polish — ADVICE r3), and the final polish pass
+    must actually run on the mesh path (it was a silent no-op)."""
+    from ar_slam_tpu.config import ArSlamConfig, SolverConfig
+    from ar_slam_tpu.solve.batch import solve
+
+    def fresh_store():
+        store, _ = make_synthetic_map(n_tags=12, n_caps=6, seed=3,
+                                      noise_px=0.3)
+        return store
+
+    cfg = ArSlamConfig(solver=SolverConfig(
+        max_iterations=6, final_polish_iterations=40, dtype="float64"))
+
+    s1 = fresh_store()
+    out1 = solve(s1, cfg)
+    s2 = fresh_store()
+    out2 = solve(s2, cfg, mesh=block_mesh(8))
+
+    assert out1["waves"] == out2["waves"]
+    # the stunted 6-iteration waves leave real error; only the 40-iteration
+    # polish reaches the optimum — rmse parity implies polish ran on the mesh
+    np.testing.assert_allclose(out1["rmse"], out2["rmse"], rtol=1e-5)
+    for t1, t2 in zip(s1.arucos, s2.arucos):
+        np.testing.assert_allclose(t1.pose, t2.pose, rtol=1e-3, atol=1e-6)
+
+    # runner-level budget assertions (the parity above can mask the bug if
+    # the waves happen to converge): a dist wave must respect the per-wave
+    # budget, not the inflated static bound; polish must run more
+    from ar_slam_tpu.solve.batch import _WaveRunner
+
+    s3 = fresh_store()
+    runner = _WaveRunner(s3, cfg.solver, cfg.aruco_size, np.float64,
+                         mesh=block_mesh(8))
+    seed = s3.capture_with_most_blocks()
+    info = runner.run_wave(seed, None, optimize=True)
+    assert int(info["iterations"]) <= 6
+    info2 = runner.polish(40)
+    assert int(info2["iterations"]) > 6  # one capture converges slower than 6
+    assert float(info2["cost"]) <= float(info["cost"]) * (1 + 1e-12)
+
+
 def test_incremental_driver_dist_matches_single():
     """solve_incremental with a mesh == without (same sweeps, same map)."""
     from ar_slam_tpu.config import ArSlamConfig, SolverConfig

@@ -67,3 +67,25 @@ def test_init_roundtrip_capture_then_tag():
     seeded_cap = seeding.init_capture_pose(obs, cam, tag, ARUCO_SIZE)
     seeded_tag = seeding.init_ar_pose(obs, cam, seeded_cap, ARUCO_SIZE)
     np.testing.assert_allclose(np.asarray(seeded_tag), np.asarray(tag), atol=1e-9)
+
+
+def test_multi_anchor_single_is_reference_seed():
+    """seed_anchors="multi" with exactly ONE valid anchor must reduce
+    bit-identically to the reference's single-init_block seed
+    (seed_capture_pose; ar_slam_util.cpp:803-807) — the parity guarantee
+    claimed at core/seeding.py's one-anchor fast-out."""
+    cam = jnp.array([3000.0, 0.0, 0.0])
+    tag = jnp.array([0.3, -0.1, 0.0, 0.05, -0.02, 0.25])
+    true_inv_cap = jnp.array([0.05, 0.02, 2.0, 0.01, -0.03, 0.1])
+    obs = projection.project_corners(cam, true_inv_cap, tag, ARUCO_SIZE)
+
+    for mode in ("frontal", "hybrid"):
+        single = seeding.seed_capture_pose(obs, cam, tag, ARUCO_SIZE,
+                                           mode=mode)
+        # one valid anchor in a non-zero slot, garbage in the masked slots
+        corners = jnp.stack([obs + 999.0, obs, obs * 0.0])
+        tags = jnp.stack([tag * 0.0, tag, tag + 1.0])
+        mask = jnp.array([False, True, False])
+        multi = seeding.seed_capture_pose_multi(corners, cam, tags, mask,
+                                                ARUCO_SIZE, mode=mode)
+        np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
