@@ -321,22 +321,26 @@ def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
     sc = cap_gather.shape[0] // lead_c
     mc = cap_gmask.astype(dtype)
 
-    def to_caps(per_block, trailing):
-        """Gather per-block values into capture order and reshape-sum
-        (per capture, or per capture-ROW then rows→captures — the
-        capture table row-splits exactly like the tag table).  Padding
-        gather slots read row 0 of a REAL block, so they must be masked
-        before the sum."""
-        g = per_block[cap_gather] * mc.reshape(
-            (-1,) + (1,) * len(trailing))
-        per = g.reshape((lead_c, sc) + trailing).sum(axis=1)
-        return per if cap_rows is None else rows_to_tags(per, cap_rows)
-
     hcc = jnp.einsum("bri,brj->ij", jc, jc)
     g_c = jnp.einsum("bri,br->i", jc, r)
-    hcp = to_caps(jnp.einsum("bri,brj->bij", jc, jp), (3, 6))
-    hpp = to_caps(jnp.einsum("bri,brj->bij", jp, jp), (6, 6))
-    g_p = to_caps(jnp.einsum("bri,br->bi", jp, r), (6,))
+    # capture-side blocks: gather per-block products into capture order and
+    # reshape-sum (per capture, or per capture-ROW then rows→captures — the
+    # capture table row-splits exactly like the tag table).  Padding gather
+    # slots read row 0 of a REAL block, so they must be masked before the
+    # sum.  The three products ride ONE fused (B, 60) gather — TPU gathers
+    # are row-latency-bound, so 3 separate gathers cost ~3x this one.
+    b_rows = r.shape[0]
+    cat = jnp.concatenate([
+        jnp.einsum("bri,brj->bij", jc, jp).reshape(b_rows, 18),
+        jnp.einsum("bri,brj->bij", jp, jp).reshape(b_rows, 36),
+        jnp.einsum("bri,br->bi", jp, r),
+    ], axis=1)  # (B, 60)
+    per = (cat[cap_gather] * mc[:, None]).reshape(lead_c, sc, 60).sum(axis=1)
+    if cap_rows is not None:
+        per = rows_to_tags(per, cap_rows)
+    hcp = per[:, :18].reshape(-1, 3, 6)
+    hpp = per[:, 18:54].reshape(-1, 6, 6)
+    g_p = per[:, 54:]
 
     # leading axis of the slot table: tags (rows=None) or split rows;
     # in the row-split layout the per-row partial sums reduce to tags by

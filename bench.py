@@ -138,7 +138,7 @@ def bench_lm(arrs, cap_poses, tag_poses, device, n_iters=32, dtype=np.float32,
         if profile_dir:
             os.makedirs(profile_dir, exist_ok=True)
             with jax.profiler.trace(profile_dir):
-                int(run(n_iters)["iterations"])  # sync inside the trace
+                int(run(n_iters)[3]["iterations"])  # sync inside the trace
     if it_hi > it_lo:
         marginal = (wall_hi - wall_lo) / (it_hi - it_lo)
     else:  # solver converged/stalled inside the low budget
