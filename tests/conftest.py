@@ -13,6 +13,7 @@ the suite against the real chip instead (float32, no virtual mesh).
 import os
 
 import jax
+import pytest
 
 if not os.environ.get("AR_SLAM_TEST_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
@@ -22,3 +23,21 @@ if not os.environ.get("AR_SLAM_TEST_TPU"):
         ).strip()
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the full ~30 min suite; CI does)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Keep the default run under ~10 min on a small box: the heaviest
+    integration tests (multihost, stream e2e, oracle recall stress, ...)
+    are @pytest.mark.slow and need --runslow or AR_SLAM_SLOW=1."""
+    if config.getoption("--runslow") or os.environ.get("AR_SLAM_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow test: use --runslow or AR_SLAM_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

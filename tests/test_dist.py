@@ -67,6 +67,7 @@ def test_dist_matches_single_device(problem):
                                rtol=1e-4, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_wave_driver_dist_matches_single():
     """The full BFS wave driver (seeding + incremental attach + LM per wave)
     gives the same map on an 8-device mesh as on one device."""
@@ -97,6 +98,7 @@ def test_wave_driver_dist_matches_single():
         np.testing.assert_allclose(t1.pose, t2.pose, rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_wave_driver_dist_polish_matches_single():
     """final_polish_iterations > max_iterations: per-wave LM must still be
     capped at max_iterations on BOTH paths (the static loop bound is
@@ -141,6 +143,7 @@ def test_wave_driver_dist_polish_matches_single():
     assert float(info2["cost"]) <= float(info["cost"]) * (1 + 1e-12)
 
 
+@pytest.mark.slow
 def test_incremental_driver_dist_matches_single():
     """solve_incremental with a mesh == without (same sweeps, same map)."""
     from ar_slam_tpu.config import ArSlamConfig, SolverConfig
@@ -172,6 +175,7 @@ def test_partition_is_permutation(problem):
     assert sorted(perm.tolist()) == list(range(arrs.cap_idx.shape[0]))
 
 
+@pytest.mark.slow
 def test_dist_solve_different_mesh_sizes(problem):
     """2-device and 4-device meshes give the same answer."""
     store, arrs, cap_poses, tag_poses = problem
@@ -293,6 +297,7 @@ def test_prepare_tag_shards_structure(problem):
         assert np.all((tids >= s * t_per) & (tids < (s + 1) * t_per))
 
 
+@pytest.mark.slow
 def test_dist_iterative_schur_matches_dense(problem):
     """linear_solver='cg' on the 8-device mesh (tag-sharded implicit-Schur
     CG, one psum per matvec) reaches the same optimum as the distributed
@@ -321,6 +326,7 @@ def test_dist_iterative_schur_matches_dense(problem):
                                rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dist_cg_matches_single_device_cg(problem):
     """Distributed CG == single-device CG (same implicit-Schur algorithm;
     reduction order differs, so tight-but-not-bit equality)."""

@@ -2,6 +2,7 @@
 batches growing one connected graph, solver state persisting between calls,
 and disconnected captures parked until a connecting tag arrives."""
 
+import pytest
 import numpy as np
 
 from ar_slam_tpu.config import ArSlamConfig
@@ -17,6 +18,7 @@ def detections_of(store, cap):
     ]
 
 
+@pytest.mark.slow
 def test_incremental_growth_matches_connectivity():
     src, _ = make_synthetic_map(n_tags=12, n_caps=8, seed=10)
     dst = MapStore()
@@ -40,6 +42,7 @@ def test_incremental_growth_matches_connectivity():
     assert s2["rmse"] < 1.0
 
 
+@pytest.mark.slow
 def test_incremental_parks_disconnected_captures():
     src, _ = make_synthetic_map(n_tags=12, n_caps=6, seed=11)
     dst = MapStore()
@@ -68,6 +71,7 @@ def test_incremental_parks_disconnected_captures():
     assert s["unsolved"] == 0
 
 
+@pytest.mark.slow
 def test_optimize_every_batches_waves():
     """solver.optimize_every=3: seed-only waves run zero LM iterations in
     the same compiled program; the final map quality matches the per-wave
@@ -93,6 +97,7 @@ def test_optimize_every_batches_waves():
     assert out3["rmse"] < max(2.5 * out1["rmse"], 0.5)
 
 
+@pytest.mark.slow
 def test_engine_map_6x6_scene(tmp_path):
     """Full engine flow on a rendered 6X6_250 scene: detect -> map ->
     map.yaml with 6x6 tag ids (the third reference aruco_dict option,

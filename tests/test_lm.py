@@ -468,6 +468,7 @@ def test_huber_loss_resists_outlier():
     assert rmse_huber < 0.5 * rmse_trivial, (rmse_huber, rmse_trivial)
 
 
+@pytest.mark.slow
 def test_lm_row_split_cg_matches_unsplit():
     """The ROW-SPLIT grouped layout (schur.TagRows: fixed-width slot rows,
     a tag spanning ceil(obs/row_slots) rows) must reproduce the unsplit
@@ -621,6 +622,7 @@ def test_lm_gradient_tolerance_fires_mid_run():
     assert float(info["grad_max"]) <= 1e-6
 
 
+@pytest.mark.slow
 def test_minimizer_progress_to_stdout(capsys):
     """≙ ceres minimizer_progress_to_stdout (ar_slam_util.cpp:1012): the
     host-stepped debug mode prints one line per LM iteration and reaches

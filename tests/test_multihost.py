@@ -25,6 +25,7 @@ def _free_port() -> int:
 
 @pytest.mark.skipif(os.environ.get("AR_SLAM_TEST_TPU"),
                     reason="cpu multi-process simulation only")
+@pytest.mark.slow
 def test_two_process_solve_matches_single_device():
     nproc = 2
     port = _free_port()
@@ -67,6 +68,7 @@ def test_two_process_solve_matches_single_device():
 
 @pytest.mark.skipif(os.environ.get("AR_SLAM_TEST_TPU"),
                     reason="cpu multi-process simulation only")
+@pytest.mark.slow
 def test_cli_multihost_resolve(tmp_path):
     """`arslam map map.yaml --multihost ...` run as 2 identical controller
     processes: re-solves the demo map over the cross-process mesh; process 0

@@ -13,6 +13,7 @@ from ar_slam_tpu.detect.pallas_ccl import connected_components_pallas
 from ar_slam_tpu.detect.tpu_detect import connected_components
 
 
+@pytest.mark.slow
 def test_pallas_ccl_matches_xla_blobs_and_ring():
     img = np.zeros((32, 128), bool)
     img[2:10, 4:16] = True

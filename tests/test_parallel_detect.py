@@ -31,6 +31,7 @@ def _render_batch(n):
 
 
 @pytest.mark.parametrize("n_images", [8, 6])  # even split + padded split
+@pytest.mark.slow
 def test_sharded_matches_single(n_images):
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device mesh")

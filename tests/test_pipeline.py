@@ -162,6 +162,7 @@ def test_cli_detect_json(capsys):
     assert ids == [f"aruco_4X4_50_{i}" for i in (18, 20, 21, 22, 23)]
 
 
+@pytest.mark.slow
 def test_cli_map_parity_mode(tmp_path):
     """--parity restores reference behavior: fixed focal init 3000 +
     frontal-only seeding.  The trust-region solver still escapes the bad
@@ -263,6 +264,7 @@ def test_load_images_service(tmp_path):
     assert not os.path.exists(sock)
 
 
+@pytest.mark.slow
 def test_event_log_replay(tmp_path):
     """Record detections while mapping, then rebuild the same map from the
     log (≙ the bag-record/replay workflow)."""
@@ -410,6 +412,7 @@ def test_config_file_unknown_key_raises(tmp_path):
 
 # ---- pipelined streaming mode (≙ the MT component container) --------------
 
+@pytest.mark.slow
 def test_stream_pipeline_e2e_matches_sequential():
     """The overlapped ingest→detect→merge→solve pipeline produces the same
     map as the strict sequential loop, actually drives the MergeDetections
@@ -469,6 +472,7 @@ def test_stream_pipeline_e2e_matches_sequential():
     assert pipe_wall <= seq_wall * 1.15, (pipe_wall, seq_wall)
 
 
+@pytest.mark.slow
 def test_serve_artifact_stream_per_batch(tmp_path, monkeypatch):
     """arslam serve --artifacts writes one TF/CameraInfo/marker jsonl
     record per solved batch and --debug-images one annotated PNG per
@@ -498,6 +502,7 @@ def test_serve_artifact_stream_per_batch(tmp_path, monkeypatch):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_stream_pipeline_pub_period_paces_ingest():
     """PipelineConfig.pub_period throttles the ingest→detect handoff to one
     image per tick (≙ ImageLoader's pub_period timer publishing one image
@@ -530,6 +535,7 @@ def test_stream_pipeline_pub_period_paces_ingest():
     assert len(eng.store.captures) == len(paths)
 
 
+@pytest.mark.slow
 def test_event_log_hermetic_replay(tmp_path):
     """With event_log_embed_images the log carries capture pixels, and
     ``arslam replay --redetect`` rebuilds the map WITHOUT the original

@@ -76,6 +76,7 @@ def _recall(dets, truths):
     return hits / max(total, 1), hits, total
 
 
+@pytest.mark.slow
 def test_sweep_recall_at_least_cv2():
     from ar_slam_tpu.config import ArSlamConfig
 
@@ -91,6 +92,7 @@ def test_sweep_recall_at_least_cv2():
     assert r_sweep >= 0.7, r_sweep
 
 
+@pytest.mark.slow
 def test_sweep_beats_single_window_on_stress():
     """The 3-window default exists to buy recall; on the stress corpus it
     must find at least as many markers as the single-window fast path."""
