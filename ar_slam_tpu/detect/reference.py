@@ -145,12 +145,15 @@ def homography_unit_square(quad: np.ndarray) -> np.ndarray:
 
 def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
                 border_bits: int = 1, sub: int = 3,
-                min_otsu_std: float = 5.0, cell_margin: float = 0.13):
+                min_otsu_std: float = 5.0, cell_margin: float = 0.13,
+                bilinear: bool = True, min_bit_margin: float = 0.3,
+                border_frac: float = 0.65):
     """Sample the (s + 2b)² cell grid from the GRAY image: warp cell sample
     points through the quad homography, binarize with a per-quad Otsu
     threshold (like cv::aruco's perspective-removal + Otsu), majority-vote
     per cell.  Returns (bits, ok); low-contrast patches are rejected
-    (≙ minOtsuStdDev)."""
+    (≙ minOtsuStdDev).  Defaults mirror DetectParams (tpu_detect.py):
+    bilinear taps, border ≙ cv2's 35% erroneous-border allowance."""
     n = marker_size + 2 * border_bits
     hmat = homography_unit_square(quad)
     # sample only the central band of each cell (cv2's
@@ -164,17 +167,30 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
     pts = np.stack([uu, vv, ones], axis=-1) @ hmat.T
     xy = pts[..., :2] / pts[..., 2:3]
     h, w = gray.shape
-    xi = np.clip(np.round(xy[..., 0]).astype(int), 0, w - 1)
-    yi = np.clip(np.round(xy[..., 1]).astype(int), 0, h - 1)
-    samples = gray[yi, xi].astype(np.float32)
+    g = gray.astype(np.float32)
+    if bilinear:
+        xf = np.clip(xy[..., 0], 0.0, w - 1.0)
+        yf = np.clip(xy[..., 1], 0.0, h - 1.0)
+        x0 = np.clip(np.floor(xf).astype(int), 0, w - 2)
+        y0 = np.clip(np.floor(yf).astype(int), 0, h - 2)
+        fx = xf - x0
+        fy = yf - y0
+        samples = (g[y0, x0] * (1 - fx) * (1 - fy)
+                   + g[y0, x0 + 1] * fx * (1 - fy)
+                   + g[y0 + 1, x0] * (1 - fx) * fy
+                   + g[y0 + 1, x0 + 1] * fx * fy)
+    else:
+        xi = np.clip(np.round(xy[..., 0]).astype(int), 0, w - 1)
+        yi = np.clip(np.round(xy[..., 1]).astype(int), 0, h - 1)
+        samples = g[yi, xi]
     if samples.std() < min_otsu_std:
         return None, False
     thresh = otsu_threshold(samples)
     dark = samples < thresh
     cells = dark.reshape(n, sub, n, sub).mean(axis=(1, 3))
     # bit decisiveness (same guard as the TPU detector): kill blur-only
-    # regions; id discrimination itself comes from hamming-0 matching
-    if 2.0 * np.median(np.abs(cells - 0.5)) < 0.6:
+    # regions; id discrimination itself comes from hamming matching
+    if 2.0 * np.median(np.abs(cells - 0.5)) < min_bit_margin:
         return None, False
     grid_dark = cells > 0.5  # True = dark
     b = border_bits
@@ -182,7 +198,7 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
         grid_dark[:b, :].reshape(-1), grid_dark[-b:, :].reshape(-1),
         grid_dark[:, :b].reshape(-1), grid_dark[:, -b:].reshape(-1),
     ])
-    border_ok = border.mean() > 0.85
+    border_ok = border.mean() > border_frac
     inner = grid_dark[b:-b, b:-b]
     bits = (~inner).astype(np.uint8)  # white = 1 (canonical convention)
     return bits, border_ok

@@ -52,10 +52,20 @@ class DetectParams(NamedTuple):
     max_perimeter_rate: float = 4.0
     min_corner_distance_rate: float = 0.1
     min_otsu_std: float = 5.0
-    border_frac: float = 0.85
+    # cv2 allows up to 35% erroneous border bits (maxErroneousBitsInBorderRate,
+    # aruco detector defaults); requiring 85% dark border cost ~4 points of
+    # 28-px stress recall (round-4 lab) with no measured precision change —
+    # the hamming budget is the real precision gate
+    border_frac: float = 0.65
     # bit decisiveness: 2*median|cell - 0.5| over the sampled grid — kills
-    # blur-only regions; id discrimination comes from hamming-0 matching
-    min_bit_margin: float = 0.6
+    # blur-only regions; id discrimination comes from hamming matching.
+    # 0.3 (not 0.6): heavy blur (sigma 2.2) legitimately halves the margin
+    # on real 28-px markers (round-4 stress lab)
+    min_bit_margin: float = 0.3
+    # bilinear (not nearest) sampling of the bit grid: at 28-px markers a
+    # cell is ~4.7 px and nearest-neighbor quantization noise flips bits
+    # (+3 points of 28-px stress recall); 4 gathers instead of 1
+    bilinear: bool = True
     # per-cell sampling margin (cv2 perspectiveRemoveIgnoredMarginPerCell
     # = 0.13): only the central band of each cell is sampled — boundary
     # pixels are blur-contaminated (stress corpus, docs/detection.md)
@@ -385,7 +395,20 @@ def decode_candidates(gray, quads, valid, dict_name: str,
     """Decode candidate quads against one dictionary.
 
     Returns (marker_ids (K,), rot (K,), corners (K, 4, 2), ok (K,)).
+
+    Everything here runs under float32 matmul precision: the homography
+    solve and grid projection produce pixel coordinates, where default
+    bf16 MXU products cost ~1-2 px — fatal for sub-5-px cells (see the
+    HIGHEST note at the projection einsum).  The extra cost is nil (these
+    are K-sized 8x8/3x3 systems).
     """
+    with jax.default_matmul_precision("float32"):
+        return _decode_candidates(gray, quads, valid, dict_name, params,
+                                  tables)
+
+
+def _decode_candidates(gray, quads, valid, dict_name: str,
+                       params: DetectParams, tables):
     d_bits, max_hamming = tables[dict_name]
     n_markers = d_bits.shape[1]
     s = int(np.sqrt(d_bits.shape[2]))
@@ -402,13 +425,34 @@ def decode_candidates(gray, quads, valid, dict_name: str,
     u = (cell[:, None] + offs[None, :]).reshape(-1) / n  # (n*sub,)
     uu, vv = jnp.meshgrid(u, u, indexing="xy")
     pts = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)  # (ns, ns, 3)
-    proj = jnp.einsum("kij,abj->kabi", hmat, pts)
+    # HIGHEST: this einsum produces PIXEL COORDINATES (~1e2-1e3); the MXU's
+    # default bf16 products carry ~1-2 px noise there, which flips bits of
+    # sub-5-px cells — measured 0.17-0.44 vs 0.69 recall at 28-px markers
+    # (TPU vs CPU, round-4 lab) before pinning
+    proj = jnp.einsum("kij,abj->kabi", hmat, pts,
+                      precision=jax.lax.Precision.HIGHEST)
     xy = proj[..., :2] / jnp.maximum(jnp.abs(proj[..., 2:3]), 1e-9) * jnp.sign(
         proj[..., 2:3] + 1e-30
     )
-    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
-    samples = gray[yi, xi]  # (K, ns, ns)
+    if params.bilinear:
+        # cv2's decode warps the patch (interpolating); nearest-neighbor
+        # taps lose sub-5-px cells to quantization noise (docstring above)
+        xf = jnp.clip(xy[..., 0], 0.0, w - 1.0)
+        yf = jnp.clip(xy[..., 1], 0.0, h - 1.0)
+        x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 2)
+        fx = xf - x0.astype(xf.dtype)
+        fy = yf - y0.astype(yf.dtype)
+        g00 = gray[y0, x0]
+        g01 = gray[y0, x0 + 1]
+        g10 = gray[y0 + 1, x0]
+        g11 = gray[y0 + 1, x0 + 1]
+        samples = (g00 * (1 - fx) * (1 - fy) + g01 * fx * (1 - fy)
+                   + g10 * (1 - fx) * fy + g11 * fx * fy)  # (K, ns, ns)
+    else:
+        xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+        samples = gray[yi, xi]  # (K, ns, ns)
 
     k = quads.shape[0]
     flat = samples.reshape(k, -1)
