@@ -101,6 +101,16 @@ class SolverConfig:
     # Large batch maps (10k tags) DIVERGE with a bare stride of 256;
     # growth 1.25 converges to the noise floor at ~50 optimizes total.
     optimize_growth: float = 0.0
+    # Register-then-refine: before each flush's joint LM, solve ONLY the
+    # newly added captures + their newly initialized tags against the
+    # frozen established map (localize-style parameter masks; same
+    # compiled program).  One badly chain-seeded batch can otherwise DRAG
+    # a converged map into a bad basin that no amount of later polish
+    # escapes — measured at 10k-tag scale, where a single stride-256 flush
+    # blew the running cost up 350x (rmse 0.37 -> 6.9 px, permanent).
+    # Pure solver scheduling: the optimum is unchanged, so this stays on
+    # even in --parity mode.
+    warmup_new_captures: bool = True
     # Extra LM iterations for ONE final pass after the last wave (0 = off).
     # Construction waves can run a small per-wave budget (max_iterations)
     # for throughput; the polish reuses the same compiled program via the

@@ -76,6 +76,14 @@ class DetectParams(NamedTuple):
     refine_iters: int = 4
     # CCL backend: "auto" = pallas kernels on TPU, XLA elsewhere
     ccl_backend: str = "auto"
+    # OR-pool the binary planes d x d before CCL/ranking/extraction and map
+    # the quads back to full-res (the subpixel refine recovers the <=(d-1)/2
+    # px corner quantization).  CCL cost scales ~1/d^2 AND converges in
+    # fewer rounds (component diameters shrink), which is where the
+    # 3-window sweep's device time goes (53% at d=1, docs/detection.md).
+    # Marker rings stay connected while quiet zones stay open down to
+    # ~24-px markers at d=2 (ring ~2 decimated px, gap ~2).
+    ccl_decimate: int = 2
     # top-k component ranking runs on a subsampled label grid (the full-res
     # sort was ~9 ms/batch on TPU); areas rescale, candidate geometry stays
     # full-res.  1 = exact ranking.
@@ -256,12 +264,19 @@ def _extreme_quads(labels_flat, roots, h, w):
     return jnp.stack([a, b, c, d], axis=1)  # (K, 4, 2) around the hull
 
 
-def _postprocess_quads(quad, top_area, h, w, params: DetectParams):
+def _postprocess_quads(quad, top_area, h, w, params: DetectParams,
+                       scale: int = 1):
     """Order/expand raw extreme-point quads and apply geometric filters.
 
-    Shared by the XLA and Pallas extraction paths.  Returns
+    Shared by the XLA and Pallas extraction paths.  ``scale`` maps quads
+    extracted on a ``ccl_decimate``-d plane back to full-res pixel coords
+    (decimated cell (i, j) covers full pixels centered at
+    d*i + (d-1)/2); ``h``/``w`` are always FULL-res.  Returns
     (quads (K, 4, 2) CW-from-topleft, areas (K,), valid (K,)).
     """
+    if scale > 1:
+        quad = quad * float(scale) + (scale - 1) / 2.0
+        top_area = top_area * float(scale * scale)
     # order clockwise from top-left (like the oracle)
     center = quad.mean(axis=1, keepdims=True)
     ang = jnp.arctan2(quad[..., 1] - center[..., 1],
@@ -272,7 +287,11 @@ def _postprocess_quads(quad, top_area, h, w, params: DetectParams):
     roll_idx = (jnp.arange(4)[None, :] + start[:, None]) % 4
     quad = jnp.take_along_axis(quad, roll_idx[..., None], axis=1)
 
-    # expand by half-pixel to the cell edge
+    # expand by half an ORIGINAL pixel to the cell edge.  On a decimated
+    # plane the OR-pool's outward dilation already places the boundary
+    # cell's center at the true edge in expectation — scaling the
+    # expansion by d systematically overshoots (~0.7 px at d=2, enough to
+    # shift 28-px markers' bit grids off their cells: recall 0.78 -> 0.40)
     centerq = quad.mean(axis=1, keepdims=True)
     d = quad - centerq
     norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -327,21 +346,29 @@ def _top_k_subsampled(labels, k: int, subsample: int,
     return roots, top_area * float(s * s)
 
 
-def extract_candidates(binary, labels, params: DetectParams):
+def extract_candidates(binary, labels, params: DetectParams,
+                       scale: int = 1, full_hw=None, rank_subsample=None):
     """Per-image candidate quads — TPU-native: no scatters, no per-label
     segment space.  Top-K components come from one sort; all per-candidate
     stats are fused masked [K, P] reductions.
+
+    ``binary``/``labels`` may be a ``ccl_decimate``-d plane: pass the
+    decimation as ``scale`` and the full-res image dims as ``full_hw`` so
+    quads/filters come out in full-res pixels.
 
     Returns (quads (K, 4, 2) float32 ordered CW-from-topleft, areas (K,),
     valid (K,)).
     """
     h, w = binary.shape
+    fh, fw = full_hw if full_hw is not None else (h * scale, w * scale)
     k = params.max_candidates
 
-    roots, top_area = _top_k_subsampled(labels, k, params.topk_subsample,
-                                        params.max_area_frac)
+    roots, top_area = _top_k_subsampled(
+        labels, k,
+        params.topk_subsample if rank_subsample is None else rank_subsample,
+        params.max_area_frac)
     quad = _extreme_quads(labels.reshape(-1), roots, h, w)
-    return _postprocess_quads(quad, top_area, h, w, params)
+    return _postprocess_quads(quad, top_area, fh, fw, params, scale=scale)
 
 
 def homography_unit_square_batch(quads):
@@ -617,6 +644,28 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
         bins = [threshold_batch(win) for win in windows]
         binary_b = bins[0] if nw == 1 else jnp.concatenate(bins, axis=0)
 
+    # decimate the binary planes for CCL/ranking/extraction (quads map back
+    # to full-res below; the full-res subpixel refine absorbs the
+    # quantization).  COUNT-pool (cell dark iff >= half its pixels are):
+    # an OR-pool doubles isolated noise speckle and bridges quiet zones —
+    # at sigma-10 pixel noise it destroyed EVERY 28-px candidate — while
+    # the count pool is a fused mild opening: single-pixel speckle dies,
+    # >= d-px structures (marker border rings) survive.
+    d = max(int(params.ccl_decimate), 1)
+    if d > 1:
+        hd, wd = -(-h // d), -(-w // d)
+        with jax.named_scope("detect_decimate"):
+            bpad = binary_b
+            if (hd * d, wd * d) != (h, w):
+                bpad = jnp.pad(binary_b,
+                               ((0, 0), (0, hd * d - h), (0, wd * d - w)))
+            counts = bpad.reshape(
+                binary_b.shape[0], hd, d, wd, d
+            ).astype(jnp.int32).sum(axis=(2, 4))
+            binary_b = counts >= (d * d + 1) // 2
+    else:
+        hd, wd = h, w
+
     if use_pallas:
         from ar_slam_tpu.detect.pallas_ccl import (
             FUSED_CCL_PIXEL_LIMIT,
@@ -628,8 +677,8 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
             extreme_quads_pallas,
         )
 
-        hw_pad = (-(-h // 128) * 128 if h > 128 else -(-h // 8) * 8) * (
-            -(-w // 128) * 128)
+        hw_pad = (-(-hd // 128) * 128 if hd > 128 else -(-hd // 8) * 8) * (
+            -(-wd // 128) * 128)
         with jax.named_scope("detect_ccl"):
             if hw_pad <= FUSED_CCL_PIXEL_LIMIT:
                 # whole-image VMEM-resident fixpoint loop, per-image exit
@@ -646,21 +695,26 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
                 lambda b: connected_components(b, params.ccl_iters)
             )(binary_b)
 
-    if use_pallas and h * w * 4 <= VMEM_LABEL_LIMIT:
+    # ranking subsample compounds with the decimation; keep total coarseness
+    sub_rank = max(1, params.topk_subsample // d)
+    if use_pallas and hd * wd * 4 <= VMEM_LABEL_LIMIT:
         with jax.named_scope("detect_topk"):
             roots_b, area_b = jax.vmap(
-                lambda l: _top_k_subsampled(l, k, params.topk_subsample,
+                lambda l: _top_k_subsampled(l, k, sub_rank,
                                             params.max_area_frac)
             )(labels_b)
         with jax.named_scope("detect_extract"):
             raw_q = extreme_quads_pallas(labels_b, roots_b, k=k)
             q, _, v = jax.vmap(
-                lambda qq, aa: _postprocess_quads(qq, aa, h, w, params)
+                lambda qq, aa: _postprocess_quads(qq, aa, h, w, params,
+                                                  scale=d)
             )(raw_q, area_b)
     else:
         with jax.named_scope("detect_extract"):
             q, _, v = jax.vmap(
-                lambda bb, ll: extract_candidates(bb, ll, params)
+                lambda bb, ll: extract_candidates(bb, ll, params,
+                                                  scale=d, full_hw=(h, w),
+                                                  rank_subsample=sub_rank)
             )(binary_b, labels_b)
 
     # (nw*N, K, ...) -> (N, nw*K, ...): window-major stacks fold back to

@@ -353,6 +353,9 @@ class _WaveRunner:
         self._pending_tag_inits: list[tuple[int, int, int]] = []  # (t, row, w)
         self._pending_anchors: list[tuple[int, int]] = []  # (w, row)
         self.seed_anchors = getattr(solver_cfg, "seed_anchors", "multi")
+        # register-then-refine: optimize each flush's NEW captures/tags
+        # against the frozen map before the joint LM (see _flush)
+        self.warmup = getattr(solver_cfg, "warmup_new_captures", True)
         # per-wave LM budget (traced); config.max_iterations is the static
         # bound and covers final_polish_iterations too (_lm_config)
         self.wave_budget = solver_cfg.max_iterations
@@ -365,7 +368,7 @@ class _WaveRunner:
         if self._dist_wave is not None:
             return self._dispatch_dist_wave(
                 cap_index=0, seed_row=-1, init_pairs=(), anchor_rows=(),
-                optimize=True, iter_budget=budget)
+                optimize=True, iter_budget=budget, warmup=False)
         self._pending.append((0, -1))  # seed-nothing wave
         return self._flush(lm_enabled=True, iter_budget=budget)
 
@@ -417,7 +420,8 @@ class _WaveRunner:
                                         self.wave_budget)
 
     def _dispatch_dist_wave(self, cap_index, seed_row, init_pairs,
-                            anchor_rows, optimize, iter_budget):
+                            anchor_rows, optimize, iter_budget,
+                            warmup=None):
         tag_inv = self._prob.prep["tag_inv"]
         tag_init_blocks = np.full(self.t_new, -1, dtype=np.int32)
         for t, row in init_pairs:
@@ -437,6 +441,40 @@ class _WaveRunner:
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
         prob = self._prob
+        if warmup is None:
+            warmup = self.warmup and optimize
+        if warmup:
+            # register-then-refine (see _flush): seeds + LM over only this
+            # wave's capture + its new tags against the frozen map, then
+            # the joint pass below runs with the seeds disabled
+            warm_caps = np.zeros(self.c_pad, dtype=bool)
+            warm_caps[cap_index] = True
+            warm_tags_old = np.zeros(self.t_pad, dtype=bool)
+            for t, _ in init_pairs:
+                warm_tags_old[t] = True
+            (cam_a, cap_a, seed_c, seed_b, anc_r, anc_m, lm_en, budget) = (
+                prob.put_rep(
+                    np.asarray(False), warm_caps,
+                    np.asarray(cap_index, np.int32),
+                    np.asarray(seed_row, np.int32),
+                    anc_rows, anc_mask,
+                    np.asarray(True),
+                    np.asarray(iter_budget, np.int32),
+                ))
+            (self.camera, self.cap_poses, self.tag_poses, _) = (
+                self._dist_wave(
+                    self.camera, self.cap_poses, self.tag_poses,
+                    self.cap_idx, self.tag_idx, self.corners,
+                    prob.block_mask(self.active_blocks),
+                    cam_a, cap_a, prob.put_tag_mask(warm_tags_old),
+                    seed_c, seed_b, prob.put_blocks(tag_init_blocks),
+                    anc_r, anc_m,
+                    lm_en, budget,
+                )
+            )
+            seed_row = -1
+            tag_init_blocks = np.full(self.t_new, -1, dtype=np.int32)
+            anc_mask[:] = False
         (cam_a, cap_a, seed_c, seed_b, anc_r, anc_m, lm_en, budget) = (
             prob.put_rep(
                 np.asarray(True), cap_active,
@@ -508,12 +546,57 @@ class _WaveRunner:
             anchor_rows[w, s] = row
             anchor_mask[w, s] = True
             slot[w] += 1
+        # register-then-refine warmup masks: the flush's new captures/tags
+        warm_caps = np.zeros(self.c_pad, dtype=bool)
+        for cap_index, _ in self._pending:
+            warm_caps[cap_index] = True
+        warm_tags = np.zeros(self.t_pad, dtype=bool)
+        for t, _, _ in self._pending_tag_inits:
+            warm_tags[t] = True
         self._pending.clear()
         self._pending_tag_inits.clear()
         self._pending_anchors.clear()
 
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
+
+        # Register-then-refine: one catastrophically chain-seeded batch of
+        # captures can DRAG a converged map into a bad basin (measured:
+        # a 10k-tag construction at stride 256 sat at rmse 0.37 px through
+        # 1388 captures, then one flush exploded cost 350x and the map
+        # never recovered).  First solve ONLY the new captures + their new
+        # tags against the frozen established map (localize-style masks —
+        # same compiled program, masks are runtime inputs), then run the
+        # joint LM.  Polish flushes (iter_budget set) add no captures and
+        # skip this.
+        if (lm_enabled and self.warmup and iter_budget is None
+                and warm_caps.any() and not self.progress):
+            (self.camera, self.cap_poses, self.tag_poses, _) = (
+                solve_wave_multi(
+                    self.camera, self.cap_poses, self.tag_poses,
+                    self.cap_idx, self.tag_idx, self.corners,
+                    jnp.asarray(self.active_blocks.copy()),
+                    jnp.asarray(False), jnp.asarray(warm_caps),
+                    jnp.asarray(warm_tags),
+                    jnp.asarray(seed_caps), jnp.asarray(seed_blocks),
+                    jnp.asarray(wave_tags), jnp.asarray(wave_rows),
+                    jnp.asarray(wave_mask), jnp.asarray(anchor_rows),
+                    jnp.asarray(anchor_mask),
+                    jnp.asarray(True),
+                    aruco_size=self.aruco_size, config=self.config,
+                    assemble_fn=self.assemble_fn, seed_mode=self.seed_mode,
+                    obs_per_tag=self.obs_per_tag,
+                    obs_per_cap=self.obs_per_cap,
+                    row_slots=self.row_slots, tag_rows=self.tag_rows,
+                    cap_rows=self.cap_rows,
+                    iter_budget=budget,
+                ))
+            # seeds were applied by the warmup dispatch; the joint pass
+            # below must not re-apply them
+            seed_caps = np.zeros(w_pad, dtype=np.int32)
+            seed_blocks = np.full(w_pad, -1, dtype=np.int32)
+            wave_mask = np.zeros_like(wave_mask)
+            anchor_mask = np.zeros_like(anchor_mask)
 
         if lm_enabled and self.progress and self._dist_wave is None:
             # ≙ minimizer_progress_to_stdout (ar_slam_util.cpp:1012):

@@ -132,8 +132,14 @@ def test_wave_driver_dist_polish_matches_single():
     # budget, not the inflated static bound; polish must run more
     from ar_slam_tpu.solve.batch import _WaveRunner
 
+    import dataclasses
+
     s3 = fresh_store()
-    runner = _WaveRunner(s3, cfg.solver, cfg.aruco_size, np.float64,
+    # warmup off: this sub-check probes the budget plumbing, and the
+    # register-then-refine warmup would converge the first wave before the
+    # stunted joint budget ever binds
+    scfg = dataclasses.replace(cfg.solver, warmup_new_captures=False)
+    runner = _WaveRunner(s3, scfg, cfg.aruco_size, np.float64,
                          mesh=block_mesh(8))
     seed = s3.capture_with_most_blocks()
     info = runner.run_wave(seed, None, optimize=True)

@@ -44,6 +44,16 @@ def main():
     ap.add_argument("--polish", type=int, default=0,
                     help="extra LM iterations for one final pass after the "
                          "last wave")
+    ap.add_argument("--cg-iters", type=int, default=None,
+                    help="CG step cap per LM iteration (--solver cg)")
+    ap.add_argument("--cg-tol", type=float, default=None,
+                    help="CG relative tolerance (--solver cg)")
+    ap.add_argument("--focal-mode", choices=["homography", "fixed"],
+                    default=None,
+                    help="focal init: homography self-calibration (default) "
+                         "or the reference's fixed initial_focal")
+    ap.add_argument("--focal", type=float, default=None,
+                    help="initial focal for --focal-mode fixed")
 
     args = ap.parse_args()
     if args.debug:
@@ -76,12 +86,24 @@ def main():
             extra["linear_solver"] = args.solver
         if args.loss:
             extra["loss"] = args.loss
+        if args.cg_iters is not None:
+            extra["cg_max_iterations"] = args.cg_iters
+        if args.cg_tol is not None:
+            extra["cg_tolerance"] = args.cg_tol
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(
                 cfg.solver, optimize_every=every,
                 max_iterations=args.iters, optimize_growth=args.growth,
                 final_polish_iterations=args.polish,
                 **extra))
+        if args.focal_mode:
+            cam_extra = {"focal_init_mode": args.focal_mode}
+            if args.focal is not None:
+                cam_extra["initial_focal"] = args.focal
+            cfg = dataclasses.replace(
+                cfg, camera=dataclasses.replace(cfg.camera, **cam_extra))
+            if args.focal is not None:
+                store.camera.params[0] = args.focal
         n = len(store.captures)
         t0 = time.time()
         out = solve(store, cfg)
