@@ -463,17 +463,20 @@ def _decode_candidates(gray, quads, valid, dict_name: str,
     )
     if params.bilinear:
         # cv2's decode warps the patch (interpolating); nearest-neighbor
-        # taps lose sub-5-px cells to quantization noise (docstring above)
+        # taps lose sub-5-px cells to quantization noise (docstring above).
+        # The four corner fetches ride ONE gather over a stacked offset
+        # axis — separate gathers lower to four latency-bound scalar-
+        # gather fusions here
         xf = jnp.clip(xy[..., 0], 0.0, w - 1.0)
         yf = jnp.clip(xy[..., 1], 0.0, h - 1.0)
         x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 2)
         y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 2)
         fx = xf - x0.astype(xf.dtype)
         fy = yf - y0.astype(yf.dtype)
-        g00 = gray[y0, x0]
-        g01 = gray[y0, x0 + 1]
-        g10 = gray[y0 + 1, x0]
-        g11 = gray[y0 + 1, x0 + 1]
+        lin = y0 * w + x0  # (K, ns, ns)
+        idx4 = jnp.stack([lin, lin + 1, lin + w, lin + w + 1])  # (4, ...)
+        g4 = gray.reshape(-1)[idx4]
+        g00, g01, g10, g11 = g4[0], g4[1], g4[2], g4[3]
         samples = (g00 * (1 - fx) * (1 - fy) + g01 * fx * (1 - fy)
                    + g10 * (1 - fx) * fy + g11 * fx * fy)  # (K, ns, ns)
     else:
@@ -695,8 +698,10 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
                 lambda b: connected_components(b, params.ccl_iters)
             )(binary_b)
 
-    # ranking subsample compounds with the decimation; keep total coarseness
-    sub_rank = max(1, params.topk_subsample // d)
+    # ranking subsample applies ON the (possibly decimated) plane: the
+    # min-pool survival + no-shared-cell guarantees hold per plane, and
+    # the full-res sort was the cost being avoided (see _top_k_subsampled)
+    sub_rank = params.topk_subsample
     if use_pallas and hd * wd * 4 <= VMEM_LABEL_LIMIT:
         with jax.named_scope("detect_topk"):
             roots_b, area_b = jax.vmap(
@@ -718,11 +723,25 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
             )(binary_b, labels_b)
 
     # (nw*N, K, ...) -> (N, nw*K, ...): window-major stacks fold back to
-    # the per-image candidate axis
+    # the per-image candidate axis, then COMPACT to the K budget:
+    # valid-first, larger-perimeter-first (the keep-the-bigger-candidate
+    # convention).  The sweep's nw*K slots are mostly padding + cross-
+    # window duplicates, and decode cost (the bilinear grid gathers — 65%
+    # of sweep device time before this) scales with the slot count, so
+    # the sweep decodes exactly as many slots as the single-window path.
     if nw > 1:
         quads_b = q.reshape(nw, n, k, 4, 2).transpose(1, 0, 2, 3, 4)
         quads_b = quads_b.reshape(n, nw * k, 4, 2)
         valid_b = v.reshape(nw, n, k).transpose(1, 0, 2).reshape(n, nw * k)
+        with jax.named_scope("detect_compact"):
+            perim = jnp.linalg.norm(
+                quads_b - jnp.roll(quads_b, -1, axis=2), axis=-1
+            ).sum(axis=2)
+            key = jnp.where(valid_b, perim, -1.0)
+            order = jnp.argsort(-key, axis=1)[:, :k]  # (N, K)
+            quads_b = jnp.take_along_axis(
+                quads_b, order[..., None, None], axis=1)
+            valid_b = jnp.take_along_axis(valid_b, order, axis=1)
     else:
         quads_b, valid_b = q, v
 

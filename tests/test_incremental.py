@@ -147,3 +147,39 @@ def test_engine_map_6x6_scene(tmp_path):
     assert {"aruco_6X6_250_3", "aruco_6X6_250_57",
             "aruco_6X6_250_120", "aruco_6X6_250_201"} <= ids
     assert summary["rmse"] < 2.0, summary
+
+
+@pytest.mark.slow
+def test_batched_construction_full_path_converges():
+    """Full store -> BFS waves -> map.yaml path at a scale with several
+    multi-capture flushes (the large-map regime in miniature): batched
+    strides + geometric schedule + register-then-refine warmup + final
+    polish must land at the noise floor, recover the focal, and the saved
+    map must round-trip.  This is the committed guard for the 10k-tag
+    mapping row (tools/map_bench.py; round-4: rmse 8.3 -> 0.295 px)."""
+    import dataclasses
+    import io
+
+    from ar_slam_tpu.config import ArSlamConfig, SolverConfig
+    from ar_slam_tpu.graph import MapStore, load_yaml, save_yaml
+    from ar_slam_tpu.solve.batch import solve
+    from ar_slam_tpu.utils.synthetic import make_synthetic_map
+
+    store, truth = make_synthetic_map(n_tags=200, n_caps=80, seed=2,
+                                      noise_px=0.3)
+    cfg = ArSlamConfig(solver=SolverConfig(
+        max_iterations=30, optimize_every=16, optimize_growth=1.25,
+        final_polish_iterations=60, linear_solver="cg", dtype="float64"))
+    out = solve(store, cfg)
+    assert out["rmse"] <= 0.5, out
+    # focal recovered from the construction (truth 3000; the homography
+    # estimate on this near-frontal synthetic is unusable and falls back
+    # to the reference init)
+    assert abs(float(store.camera.params[0]) - truth["camera"][0]) < 150.0
+
+    buf = io.StringIO()
+    save_yaml(store, buf)
+    restored = MapStore()
+    load_yaml(restored, io.StringIO(buf.getvalue()))
+    assert len(restored.blocks) == len(store.blocks)
+    assert len(restored.captures) == len(store.captures)
