@@ -80,14 +80,24 @@ def focal_constraints_from_rect(corners: np.ndarray, aruco_size: float):
 
 
 def estimate_focal(rects, aruco_size: float) -> float | None:
-    """Focal estimate over an iterable of (4,2) rects: self-weighted least
-    squares over the linear constraints a·f² = b (see
-    focal_constraints_from_rect), with one IRLS trimming pass to shed
-    outlier homographies.  Near-frontal tags carry a ≈ 0 and contribute
-    nothing — the estimate comes from whatever tilt the data actually has.
+    """Focal estimate over an iterable of (4,2) rects: median of f² = b/a
+    over the STRONGEST constraints only (top quartile by |a| — the tilted
+    tags), with a scale-consistency gate.
 
-    Returns None when no usable constraints exist (all tags exactly
-    fronto-parallel).
+    Why the shape: the IAC constraints a·f² = b are noise-dominated for
+    near-frontal tags (a → 0 faster than its corner-noise floor), and
+    every whole-population aggregate fails differently — the per-tag
+    ratio median with f²>0 censoring biased ~70 % HIGH on a near-frontal
+    10k-tag synthetic (strandng the BA in the focal/depth-ambiguity
+    basin), while a·a-weighted least squares is errors-in-variables
+    attenuated ~80 % LOW on real photos (the bundled demo: 338 vs ≈760,
+    which the TPU's f32 LM could not climb out of).  Restricting to the
+    strongest |a| keeps only constraints whose denominator carries signal;
+    when even those disagree between the top-10 % and top-25 % cuts
+    (>1.5× apart in f), the data has no usable tilt and we return None —
+    the caller falls back to the reference's fixed 3000 init
+    (ar_slam_util.hpp:69), from which the batch construction converges on
+    the near-frontal synthetics (README 10k-tag row).
     """
     ab = []
     for corners in rects:
@@ -96,20 +106,35 @@ def estimate_focal(rects, aruco_size: float) -> float | None:
         return None
     a = np.array([x[0] for x in ab])
     b = np.array([x[1] for x in ab])
-    denom = float(np.dot(a, a))
-    if denom < 1e-24:
+
+    # few constraints (small real datasets like the bundled demo, 28):
+    # percentile cuts are unstable at this count — use the censored
+    # all-constraint median (the real-photo regime has genuine tilt, so
+    # the near-frontal bias mode doesn't apply; demo: 798 vs true ≈760)
+    if a.size < 256:
+        f2 = b[np.abs(a) > 1e-15] / a[np.abs(a) > 1e-15]
+        f2 = f2[f2 > 0]
+        if f2.size < 2:
+            return None
+        med = float(np.median(f2))
+        return float(np.sqrt(med)) if med > 0 else None
+
+    def strong_median(q: float) -> float | None:
+        thr = np.percentile(np.abs(a), q)
+        k = (np.abs(a) >= thr) & (np.abs(a) > 1e-15)
+        if k.sum() < 2:
+            return None
+        f2 = b[k] / a[k]
+        f2 = f2[f2 > 0]
+        if f2.size < 2:
+            return None
+        return float(np.median(f2))
+
+    m75 = strong_median(75.0)
+    m90 = strong_median(90.0)
+    if m75 is None or m90 is None or m75 <= 0 or m90 <= 0:
         return None
-    f2 = float(np.dot(a, b)) / denom
-    # trim: drop the worst-residual half (scaled residuals), re-solve —
-    # robustifies against the few grossly wrong homographies without the
-    # positivity-censoring bias of the per-tag ratio median
-    r = np.abs(a * f2 - b)
-    keep = r <= np.median(r)
-    if keep.sum() >= 8:
-        ak, bk = a[keep], b[keep]
-        d2 = float(np.dot(ak, ak))
-        if d2 > 1e-24:
-            f2 = float(np.dot(ak, bk)) / d2
-    if not np.isfinite(f2) or f2 <= 0:
-        return None
-    return float(np.sqrt(f2))
+    f75, f90 = np.sqrt(m75), np.sqrt(m90)
+    if max(f75, f90) > 1.5 * min(f75, f90):
+        return None  # noise-dominated: no consistent tilt signal
+    return float(f90)
