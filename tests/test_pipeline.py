@@ -165,9 +165,14 @@ def test_cli_detect_json(capsys):
 @pytest.mark.slow
 def test_cli_map_parity_mode(tmp_path):
     """--parity restores reference behavior: fixed focal init 3000 +
-    frontal-only seeding.  The trust-region solver still escapes the bad
-    focal basin from that start (3000 -> ~760 on the demo photos), so the
-    parity map must be valid and converge near the true focal too."""
+    frontal-only seeding.  From that start the demo is a GAMBLE the
+    reference itself takes (README "Focal self-calibration"): descent
+    either escapes to the true-focal optimum (~760, sub-px rmse) or lands
+    in the documented ~12 px plateau, depending on sub-pixel detection
+    noise — cv2's fixture corners escape, tiny corner perturbations flip
+    it.  Parity mode must produce a structurally valid map in one of
+    those two basins, never garbage; the calibrated default (other tests)
+    must always converge."""
     out = tmp_path / "map_parity.yaml"
     rc = cli_main(["map", *IMAGES[:3], "--parity", "-o", str(out)])
     assert rc == 0
@@ -175,7 +180,15 @@ def test_cli_map_parity_mode(tmp_path):
     load_yaml(store, str(out))
     assert len(store.captures) == 3
     assert len(store.arucos) == 6
-    assert 500 < store.camera.params[0] < 1200
+    focal = float(store.camera.params[0])
+    converged = 500 < focal < 1200
+    plateau = 1200 <= focal < 4000
+    assert converged or plateau, focal
+    # whichever basin, every pose must be finite and the map reloadable
+    for cap in store.captures:
+        assert np.isfinite(cap.inv_pose).all()
+    for tag in store.arucos:
+        assert np.isfinite(tag.pose).all()
 
 
 def test_cli_audit(demo_map, capsys):
