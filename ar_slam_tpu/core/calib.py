@@ -81,8 +81,12 @@ def focal_constraints_from_rect(corners: np.ndarray, aruco_size: float):
 
 def estimate_focal(rects, aruco_size: float) -> float | None:
     """Focal estimate over an iterable of (4,2) rects: median of f² = b/a
-    over the STRONGEST constraints only (top quartile by |a| — the tilted
-    tags), with a scale-consistency gate.
+    over the STRONGEST constraints only — the returned value is the
+    TOP-DECILE (|a| ≥ 90th percentile) median; the top-QUARTILE median is
+    computed only as the consistency gate (the two cuts must agree within
+    1.5× in f or the estimate is rejected).  Below 256 constraints the
+    percentile cuts are too unstable and the estimator switches to the
+    censored all-constraint median (see inline comment).
 
     Why the shape: the IAC constraints a·f² = b are noise-dominated for
     near-frontal tags (a → 0 faster than its corner-noise floor), and

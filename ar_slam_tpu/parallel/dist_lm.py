@@ -48,8 +48,7 @@ from ar_slam_tpu.parallel.mesh import BLOCK_AXIS
 from ar_slam_tpu.parallel.multihost import fetch, put_global
 from ar_slam_tpu.parallel.partition import prepare_tag_shards
 from ar_slam_tpu.solve.lm import LMConfig, lm_core
-from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
-                                         residuals_only)
+from ar_slam_tpu.solve.residuals import linearize, residuals_and_rho
 from ar_slam_tpu.solve.schur import (
     CapEqs,
     GroupedEqs,
@@ -60,6 +59,8 @@ from ar_slam_tpu.solve.schur import (
     eliminate_tags_grouped,
     group_blocks_by_tag,
     group_blocks_by_tag_rows,
+    quad_form_cap_side,
+    quad_form_tag_side,
     reduced_solve,
     schur_solve_grouped_cg,
 )
@@ -179,6 +180,9 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         return (ci_g, ti_g, crn[gather], mask_g, cap_gather, cap_gmask
                 ) + extra
 
+    cap_rep = (rep, rep, rep, rep, rep)
+    tag_shard = (tagspec, tagspec, tagspec, tagspec)
+
     def make_lin(cap_idx, tag_idx, corners, block_mask, cap_gather,
                  cap_gmask, *row_arrs):
         @partial(
@@ -188,9 +192,8 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                       blockspec, blockspec, blockspec)
             + (blockspec,) * len(row_arrs),
             out_specs=(
-                (rep, (tagspec, tagspec, tagspec, tagspec)),  # eqs
+                (rep, tag_shard),  # eqs
                 rep,  # cost
-                (blockspec, blockspec, blockspec, blockspec),  # aux
             ),
         )
         def _lin(camera, cap_poses, tag_poses, ci, ti, crn, bm, cg, cgm,
@@ -207,7 +210,7 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
                 [g.hcc, g.hcp, g.hpp, g.g_c, g.g_p, 0.5 * jnp.sum(rho)])
             cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
             tag_side = (g.hct, g.wt_s, g.htt, g.g_t)
-            return (cap_eqs, tag_side), cost, (r, jc, jp, jt)
+            return (cap_eqs, tag_side), cost
 
         def lin_fn(camera, cap_poses, tag_poses):
             return _lin(camera, cap_poses, tag_poses, cap_idx, tag_idx,
@@ -216,40 +219,44 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
 
         return lin_fn
 
-    def make_quality(cap_idx, tag_idx, corners, block_mask, *_unused):
+    def make_quality(cap_idx, tag_idx, corners, block_mask, cap_gather,
+                     cap_gmask, *row_arrs):
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(
-                (blockspec, blockspec, blockspec, blockspec),
+                (cap_rep, tag_shard),
                 rep, rep, tagspec, rep, rep, tagspec,
                 blockspec, blockspec, blockspec, blockspec,
-            ),
+            ) + (blockspec,) * len(row_arrs),
             out_specs=(rep, rep, rep),
         )
-        def _quality(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
-                     d_tag, ci, ti, crn, bm):
-            r, jc, jp, jt = aux
+        def _quality(eqs, new_camera, new_caps, new_tags, d_cam, d_cap,
+                     d_tag, ci, ti, crn, bm, *ra):
+            cap_eqs, (hct, wt_s, htt, g_t) = eqs
             til = _local_tags(ti)
-            r_new, rho_new = residuals_and_rho(
+            _, rho_new = residuals_and_rho(
                 new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
                 distortion, loss, loss_scale,
             )
-            jd = (
-                jnp.einsum("brc,c->br", jc, d_cam)
-                + jnp.einsum("brp,bp->br", jp, d_cap[ci])
-                + jnp.einsum("brp,bp->br", jt, d_tag[til])
-            )
-            new_cost, g_dot_d, jd_sq = _psum_packed(
-                [0.5 * jnp.sum(rho_new), jnp.sum(jd * r),
-                 jnp.sum(jd * jd)])
-            return new_cost, g_dot_d, jd_sq
+            tag_r, _ = _split_rows(ra)
+            # tag-side quad partials are additive over shards; the cap side
+            # is replicated and added after the psum (summing it through
+            # the psum would scale it by n_devices)
+            gd_t, q_t = quad_form_tag_side(hct, wt_s, htt, g_t, ci, d_cam,
+                                           d_cap, d_tag, rows=tag_r)
+            new_cost, gd_t, q_t = _psum_packed(
+                [0.5 * jnp.sum(rho_new), gd_t, q_t])
+            gd_c, q_c = quad_form_cap_side(*cap_eqs, d_cam, d_cap)
+            return new_cost, gd_c + gd_t, q_c + q_t
 
-        def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+        def quality_fn(eqs, new_camera, new_caps, new_tags, d_cam, d_cap,
                        d_tag):
-            return _quality(aux, new_camera, new_caps, new_tags, d_cam,
-                            d_cap, d_tag, cap_idx, tag_idx, corners,
-                            block_mask)
+            cap_eqs, tag_side = eqs
+            return _quality((tuple(cap_eqs), tag_side), new_camera,
+                            new_caps, new_tags, d_cam, d_cap, d_tag,
+                            cap_idx, tag_idx, corners, block_mask,
+                            *row_arrs)
 
         return quality_fn
 
@@ -260,23 +267,24 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
         relinearized capture-side blocks, so an LM iteration costs TWO
         all-reduces (solve + this) instead of three (solve + quality +
         accept-path linearize).  On latency-bound links collective count
-        dominates; the extra Jacobian work on rejected steps is local."""
+        dominates; the extra Jacobian work on rejected steps is local.
+        Step quality reads d^T g / d^T H d off the CURRENT assembled eqs
+        (quad_form_*), so the per-block Jacobians are consumed inside this
+        stage and never enter the loop carry."""
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(
-                (blockspec, blockspec, blockspec, blockspec),
+                (cap_rep, tag_shard),
                 rep, rep, tagspec, rep, rep, tagspec,
                 blockspec, blockspec, blockspec, blockspec, blockspec,
                 blockspec,
             ) + (blockspec,) * len(row_arrs),
-            out_specs=(rep, rep, rep,
-                       (rep, (tagspec, tagspec, tagspec, tagspec)),
-                       (blockspec, blockspec, blockspec, blockspec)),
+            out_specs=(rep, rep, rep, (rep, tag_shard)),
         )
-        def _qlin(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
+        def _qlin(eqs, new_camera, new_caps, new_tags, d_cam, d_cap,
                   d_tag, ci, ti, crn, bm, cg, cgm, *ra):
-            r, jc, jp, jt = aux
+            cap_eqs, (hct, wt_s, htt, g_t) = eqs
             til = _local_tags(ti)
             r2, jc2, jp2, jt2, rho2 = linearize(
                 new_camera, new_caps, new_tags, ci, til, crn, bm, aruco_size,
@@ -285,25 +293,24 @@ def make_tag_sharded_hooks(mesh, t_per, n_caps, aruco_size,
             tag_r, cap_r = _split_rows(ra)
             g = assemble_grouped(r2, jc2, jp2, jt2, cg, cgm, n_caps, t_per,
                                  s_max, rows=tag_r, cap_rows=cap_r)
-            jd = (
-                jnp.einsum("brc,c->br", jc, d_cam)
-                + jnp.einsum("brp,bp->br", jp, d_cap[ci])
-                + jnp.einsum("brp,bp->br", jt, d_tag[til])
-            )
-            (hcc, hcp, hpp, g_c, g_p, new_cost, g_dot_d, jd_sq) = (
+            gd_t, q_t = quad_form_tag_side(hct, wt_s, htt, g_t, ci, d_cam,
+                                           d_cap, d_tag, rows=tag_r)
+            (hcc, hcp, hpp, g_c, g_p, new_cost, gd_t, q_t) = (
                 _psum_packed([g.hcc, g.hcp, g.hpp, g.g_c, g.g_p,
-                              0.5 * jnp.sum(rho2), jnp.sum(jd * r),
-                              jnp.sum(jd * jd)]))
-            cap_eqs = CapEqs(hcc, hcp, hpp, g_c, g_p)
-            tag_side = (g.hct, g.wt_s, g.htt, g.g_t)
-            return (new_cost, g_dot_d, jd_sq, (cap_eqs, tag_side),
-                    (r2, jc2, jp2, jt2))
+                              0.5 * jnp.sum(rho2), gd_t, q_t]))
+            gd_c, q_c = quad_form_cap_side(*cap_eqs, d_cam, d_cap)
+            new_eqs = (CapEqs(hcc, hcp, hpp, g_c, g_p),
+                       (g.hct, g.wt_s, g.htt, g.g_t))
+            return new_cost, gd_c + gd_t, q_c + q_t, new_eqs
 
-        def quality_lin_fn(aux, new_camera, new_caps, new_tags, d_cam,
+        def quality_lin_fn(eqs, new_camera, new_caps, new_tags, d_cam,
                            d_cap, d_tag):
-            return _qlin(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
-                         d_tag, cap_idx, tag_idx, corners, block_mask,
-                         cap_gather, cap_gmask, *row_arrs)
+            cap_eqs, tag_side = eqs
+            new_cost, g_dot_d, jd_sq, new_eqs = _qlin(
+                (tuple(cap_eqs), tag_side), new_camera, new_caps, new_tags,
+                d_cam, d_cap, d_tag, cap_idx, tag_idx, corners, block_mask,
+                cap_gather, cap_gmask, *row_arrs)
+            return new_cost, g_dot_d, jd_sq, new_eqs
 
         return quality_lin_fn
 

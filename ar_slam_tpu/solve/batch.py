@@ -356,6 +356,12 @@ class _WaveRunner:
         # register-then-refine: optimize each flush's NEW captures/tags
         # against the frozen map before the joint LM (see _flush)
         self.warmup = getattr(solver_cfg, "warmup_new_captures", True)
+        # dist-path warmup accumulator: with optimize_every > 1 the
+        # intervening optimize=False waves seed captures that must ALL be
+        # warmed before the next joint LM (the single-device _flush warms
+        # its whole pending batch; the dist path mirrors that here)
+        self._dist_warm_caps: set[int] = set()
+        self._dist_warm_tags: set[int] = set()
         # per-wave LM budget (traced); config.max_iterations is the static
         # bound and covers final_polish_iterations too (_lm_config)
         self.wave_budget = solver_cfg.max_iterations
@@ -441,16 +447,25 @@ class _WaveRunner:
         cap_active = np.zeros(self.c_pad, dtype=bool)
         cap_active[list(self.active_caps)] = True
         prob = self._prob
-        if warmup is None:
+        if warmup is None:  # a real capture wave (polish passes False)
+            self._dist_warm_caps.add(cap_index)
+            self._dist_warm_tags.update(t for t, _ in init_pairs)
             warmup = self.warmup and optimize
+        # no warmup against an EMPTY established map (everything active is
+        # new — there is no frozen basin to protect, and the extra LM pass
+        # would only double first-flush device time)
+        if not (self.active_caps - self._dist_warm_caps):
+            warmup = False
         if warmup:
-            # register-then-refine (see _flush): seeds + LM over only this
-            # wave's capture + its new tags against the frozen map, then
-            # the joint pass below runs with the seeds disabled
+            # register-then-refine (see _flush): seeds + LM over ALL
+            # captures/tags seeded since the last joint LM (this wave's
+            # seeds apply here; earlier optimize=False waves applied their
+            # own at dispatch) against the frozen map, then the joint pass
+            # below runs with the seeds disabled
             warm_caps = np.zeros(self.c_pad, dtype=bool)
-            warm_caps[cap_index] = True
+            warm_caps[list(self._dist_warm_caps)] = True
             warm_tags_old = np.zeros(self.t_pad, dtype=bool)
-            for t, _ in init_pairs:
+            for t in self._dist_warm_tags:
                 warm_tags_old[t] = True
             (cam_a, cap_a, seed_c, seed_b, anc_r, anc_m, lm_en, budget) = (
                 prob.put_rep(
@@ -495,6 +510,9 @@ class _WaveRunner:
                 lm_en, budget,
             )
         )
+        if optimize:
+            self._dist_warm_caps.clear()
+            self._dist_warm_tags.clear()
         self.last_info = info
         return info
 
@@ -569,8 +587,12 @@ class _WaveRunner:
         # same compiled program, masks are runtime inputs), then run the
         # joint LM.  Polish flushes (iter_budget set) add no captures and
         # skip this.
+        # skip when nothing established exists to register against (a
+        # brand-new map's first flush: warmup would run a full LM with the
+        # camera frozen and EVERY parameter new — pure extra device time)
         if (lm_enabled and self.warmup and iter_budget is None
-                and warm_caps.any() and not self.progress):
+                and warm_caps.any() and (cap_active & ~warm_caps).any()
+                and not self.progress):
             (self.camera, self.cap_poses, self.tag_poses, _) = (
                 solve_wave_multi(
                     self.camera, self.cap_poses, self.tag_poses,

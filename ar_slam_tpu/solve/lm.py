@@ -16,9 +16,18 @@ serves single-chip and distributed execution (``ar_slam_tpu.parallel``
 supplies shard_map-wrapped hooks whose reductions psum over the block
 shards):
 
-  lin_fn(camera, cap_poses, tag_poses) -> (NormalEqs, cost, aux)
-  quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag)
+  lin_fn(camera, cap_poses, tag_poses) -> (NormalEqs, cost)
+  quality_fn(eqs, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag)
       -> (new_cost, g_dot_d, jd_sq)
+
+Memory note (the 40k-tag HBM fix): the loop state carries ONLY the
+assembled normal equations — never the per-block Jacobian table.  The
+step-quality quantities that used to need it (g_dot_d = d^T J^T r,
+jd_sq = d^T J^T J d) come straight from the assembled blocks
+(schur.quad_form_*), so rejected iterations cost one residual pass plus an
+O(params) quad form, and the while_loop's biggest buffers shrink from
+eqs + (B, 8, 15) Jacobians (doubled again at the accept-select) to eqs
+alone.
 """
 
 from __future__ import annotations
@@ -29,13 +38,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ar_slam_tpu.solve.residuals import (linearize, residuals_and_rho,
-                                         residuals_only)
+from ar_slam_tpu.solve.residuals import linearize, residuals_and_rho
 from ar_slam_tpu.solve.schur import (
     assemble,
     assemble_grouped,
     group_blocks_by_tag,
     group_blocks_by_tag_rows,
+    quad_form_flat,
+    quad_form_grouped,
     schur_solve,
     schur_solve_grouped,
     schur_solve_grouped_cg,
@@ -136,22 +146,16 @@ def make_block_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
         )
         eqs = assemble(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
         cost = 0.5 * jnp.sum(rho)
-        return eqs, cost, (r, jc, jp, jt)
+        return eqs, cost
 
-    def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
-        r, jc, jp, jt = aux
-        r_new, rho_new = residuals_and_rho(
+    def quality_fn(eqs, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
+        _, rho_new = residuals_and_rho(
             new_camera, new_caps, new_tags, cap_idx, tag_idx, corners,
             block_mask, aruco_size, distortion, loss, loss_scale,
         )
         new_cost = 0.5 * jnp.sum(rho_new)
-        jd = (
-            jnp.einsum("brc,c->br", jc, d_cam)
-            + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx])
-            + jnp.einsum("brp,bp->br", jt, d_tag[tag_idx])
-        )
-        g_dot_d = jnp.sum(jd * r)
-        return new_cost, g_dot_d, jnp.sum(jd * jd)
+        g_dot_d, jd_sq = quad_form_flat(eqs, d_cam, d_cap, d_tag)
+        return new_cost, g_dot_d, jd_sq
 
     return lin_fn, quality_fn
 
@@ -217,22 +221,17 @@ def make_grouped_hooks(cap_idx, tag_idx, corners, block_mask, aruco_size,
         eqs = assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps,
                                n_tags, s_used, rows=rows, cap_rows=cap_rows)
         cost = 0.5 * jnp.sum(rho)
-        return eqs, cost, (r, jc, jp, jt)
+        return eqs, cost
 
-    def quality_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
-        r, jc, jp, jt = aux
-        r_new, rho_new = residuals_and_rho(
+    def quality_fn(eqs, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag):
+        _, rho_new = residuals_and_rho(
             new_camera, new_caps, new_tags, cap_idx_g, tag_idx_g, corners_g,
             mask_g, aruco_size, distortion, loss, loss_scale,
         )
         new_cost = 0.5 * jnp.sum(rho_new)
-        jd = (
-            jnp.einsum("brc,c->br", jc, d_cam)
-            + jnp.einsum("brp,bp->br", jp, d_cap[cap_idx_g])
-            + jnp.einsum("brp,bp->br", jt, d_tag[tag_idx_g])
-        )
-        g_dot_d = jnp.sum(jd * r)
-        return new_cost, g_dot_d, jnp.sum(jd * jd)
+        g_dot_d, jd_sq = quad_form_grouped(eqs, cap_idx_g, d_cam, d_cap,
+                                           d_tag, rows=rows)
+        return new_cost, g_dot_d, jd_sq
 
     return lin_fn, quality_fn, (cap_idx_g, cap_gather, cap_gmask, rows,
                                 cap_rows)
@@ -244,11 +243,16 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             quality_lin_fn=None, lam0=None, nu0=None):
     """Generic LM loop over block-parallel hooks.  Runs inside jit.
 
-    The linearization (residuals + Jacobian blocks + assembled normal
-    equations) is carried in the loop state and recomputed ONLY when a step
-    is accepted — rejected iterations re-solve the damped system with a new
-    lambda at roughly half the cost (standard LM engineering; ceres does the
-    same via its evaluated-jacobian cache).
+    The ASSEMBLED normal equations are carried in the loop state and
+    recomputed ONLY when a step is accepted — rejected iterations re-solve
+    the damped system with a new lambda plus one residual evaluation
+    (standard LM engineering; ceres does the same via its
+    evaluated-jacobian cache).  The per-block Jacobian table is NEVER
+    carried: step quality needs only d^T g and d^T H d, which
+    schur.quad_form_* reads off the assembled blocks — at 40k tags /
+    1.05M observations the carried-Jacobian design (plus its speculative
+    twin at the accept-select) was the 2.9 GB that pushed the solve out of
+    v5e HBM.
 
     ``enabled`` may be a traced bool: when False the while_loop runs zero
     iterations (state starts converged), so the SAME compiled program serves
@@ -265,16 +269,16 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     config.max_iterations WITHOUT recompiling — one compiled program
     serves any budget (benchmarks time two budgets and subtract).
 
-    ``quality_lin_fn(aux, new_camera, new_caps, new_tags, d_cam, d_cap,
-    d_tag) -> (new_cost, g_dot_d, jd_sq, eqs_new, aux_new)`` optionally
-    FUSES step-quality evaluation with a SPECULATIVE relinearization at the
+    ``quality_lin_fn(eqs, new_camera, new_caps, new_tags, d_cam, d_cap,
+    d_tag) -> (new_cost, g_dot_d, jd_sq, eqs_new)`` optionally FUSES
+    step-quality evaluation with a SPECULATIVE relinearization at the
     proposed parameters, replacing quality_fn + the accept-path lin_fn.
     The distributed hooks supply one whose reductions share a single packed
     psum — cutting per-iteration collectives from 3 to 2 (latency-bound
     multi-controller links care about collective COUNT, and the extra
     Jacobian work on rejected steps is idle compute there).  On accept the
-    speculative (eqs, aux) are exactly what the next iteration needs; on
-    reject they are discarded by a where-select.
+    speculative eqs are exactly what the next iteration needs; on reject
+    they are discarded by a where-select.
     """
     dtype = cap_poses.dtype
     stateful = solver_state0 is not None
@@ -286,7 +290,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
                 jacobi_scaling=config.jacobi_scaling,
             )
 
-    eqs0, cost0, aux0 = lin_fn(camera, cap_poses, tag_poses)
+    eqs0, cost0 = lin_fn(camera, cap_poses, tag_poses)
     # ceres checks the gradient test at iteration 0 too (a problem started
     # at its optimum terminates GRADIENT_TOLERANCE without stepping)
     g_conv0 = _grad_inf_norm(eqs0, cam_active, cap_active, tag_active) <= (
@@ -311,7 +315,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
     )
 
     def body(carry):
-        state, eqs, aux, sol = carry
+        state, eqs, sol = carry
         if stateful:
             d_cam, d_cap, d_tag, sol = solve_fn(eqs, state.lam, sol)
         else:
@@ -321,12 +325,12 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         new_caps = state.cap_poses + d_cap
         new_tags = state.tag_poses + d_tag
         if quality_lin_fn is not None:
-            new_cost, g_dot_d, jd_sq, eqs_prop, aux_prop = quality_lin_fn(
-                aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
+            new_cost, g_dot_d, jd_sq, eqs_prop = quality_lin_fn(
+                eqs, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
             )
         else:
             new_cost, g_dot_d, jd_sq = quality_fn(
-                aux, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
+                eqs, new_camera, new_caps, new_tags, d_cam, d_cap, d_tag
             )
 
         model_decrease = jnp.maximum(-g_dot_d - 0.5 * jd_sq, 1e-30)
@@ -362,18 +366,16 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
                 return jnp.where(accept, a, b)
 
             eqs_n = jax.tree_util.tree_map(sel, eqs_prop, eqs)
-            aux_n = jax.tree_util.tree_map(sel, aux_prop, aux)
         else:
             # relinearize only on accepted (and not-yet-converged) steps
             def do_lin(_):
-                eqs2, _, aux2 = lin_fn(new_camera, new_caps, new_tags)
-                return eqs2, aux2
+                eqs2, _ = lin_fn(new_camera, new_caps, new_tags)
+                return eqs2
 
             def keep(_):
-                return eqs, aux
+                return eqs
 
-            eqs_n, aux_n = jax.lax.cond(accept & ~converged_fp, do_lin, keep,
-                                        None)
+            eqs_n = jax.lax.cond(accept & ~converged_fp, do_lin, keep, None)
 
         # ceres' gradient test on the fresh linearization.  Only meaningful
         # when eqs_n is fresh, i.e. accepted and not already f/p-converged
@@ -407,7 +409,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
             # after an accept the next optimal step is near zero
             sol = jax.tree_util.tree_map(
                 lambda s: jnp.where(accept, jnp.zeros_like(s), s), sol)
-        return new_state, eqs_n, aux_n, sol
+        return new_state, eqs_n, sol
 
     budget = jnp.asarray(
         config.max_iterations if iter_budget is None else iter_budget,
@@ -419,8 +421,7 @@ def lm_core(camera, cap_poses, tag_poses, cam_active, cap_active, tag_active,
         state = carry[0]
         return (state.iteration < budget) & ~state.converged
 
-    final, eqs_f, _, _ = jax.lax.while_loop(cond, body,
-                                            (state0, eqs0, aux0, sol0))
+    final, eqs_f, _ = jax.lax.while_loop(cond, body, (state0, eqs0, sol0))
     info = {
         "cost": final.cost,
         "iterations": final.iteration,
@@ -532,13 +533,16 @@ def lm_solve(
         loss_scale=config.loss_scale,
     )
     if assemble_fn is not None:
-        base_lin = lin_fn
-
+        # custom assembly must still produce NormalEqs-shaped blocks (the
+        # quality quad form reads them)
         def lin_fn(camera, cap_poses, tag_poses):  # noqa: F811
-            _, cost, aux = base_lin(camera, cap_poses, tag_poses)
-            r, jc, jp, jt = aux
+            r, jc, jp, jt, rho = linearize(
+                camera, cap_poses, tag_poses, cap_idx, tag_idx, corners,
+                block_mask, aruco_size, config.enable_distortion,
+                config.loss, config.loss_scale,
+            )
             eqs = assemble_fn(r, jc, jp, jt, cap_idx, tag_idx, n_caps, n_tags)
-            return eqs, cost, aux
+            return eqs, 0.5 * jnp.sum(rho)
 
     return lm_core(camera, cap_poses, tag_poses, cam_active, cap_active,
                    tag_active, lin_fn, quality_fn, config, enabled=enabled,

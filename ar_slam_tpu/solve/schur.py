@@ -370,6 +370,85 @@ def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
     return GroupedEqs(hcc, hcp, hpp, hct, wt_s, htt, g_c, g_p, g_t)
 
 
+def quad_form_flat(eqs: NormalEqs, d_cam, d_cap, d_tag):
+    """(d^T g, d^T H d) straight from the assembled normal equations.
+
+    The LM step-quality test needs g_dot_d = d^T J^T r and
+    jd_sq = ||J d||^2 = d^T (J^T J) d; both are already encoded in the
+    assembled (undamped, unscaled) blocks, so the per-block Jacobian table
+    never has to be carried in the LM loop state for them — that carry
+    (plus its speculative twin at the accept-select) was the largest
+    per-block array in the 40k-tag HBM budget.  HIGHEST precision: these
+    are O(params) reductions (negligible next to a relinearization) and
+    model_decrease = -d^T g - 0.5 d^T H d is a cancelling subtraction.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    g_dot_d = (jnp.dot(eqs.g_c, d_cam, precision=hp)
+               + jnp.sum(eqs.g_p * d_cap)
+               + jnp.sum(eqs.g_t * d_tag))
+    quad = (
+        jnp.einsum("ij,i,j->", eqs.hcc, d_cam, d_cam, precision=hp)
+        + 2.0 * jnp.einsum("cij,i,cj->", eqs.hcp, d_cam, d_cap,
+                           precision=hp)
+        + jnp.einsum("cij,ci,cj->", eqs.hpp, d_cap, d_cap, precision=hp)
+        + 2.0 * jnp.einsum("tij,i,tj->", eqs.hct, d_cam, d_tag,
+                           precision=hp)
+        + 2.0 * jnp.dot(d_cap.reshape(-1),
+                        jnp.dot(eqs.hpt, d_tag.reshape(-1), precision=hp),
+                        precision=hp)
+        + jnp.einsum("tij,ti,tj->", eqs.htt, d_tag, d_tag, precision=hp)
+    )
+    return g_dot_d, quad
+
+
+def quad_form_cap_side(hcc, hcp, hpp, g_c, g_p, d_cam, d_cap):
+    """Camera/capture contribution to (d^T g, d^T H d) — replicated in the
+    tag-sharded solver (no psum needed)."""
+    hp = jax.lax.Precision.HIGHEST
+    g_dot_d = jnp.dot(g_c, d_cam, precision=hp) + jnp.sum(g_p * d_cap)
+    quad = (
+        jnp.einsum("ij,i,j->", hcc, d_cam, d_cam, precision=hp)
+        + 2.0 * jnp.einsum("cij,i,cj->", hcp, d_cam, d_cap, precision=hp)
+        + jnp.einsum("cij,ci,cj->", hpp, d_cap, d_cap, precision=hp)
+    )
+    return g_dot_d, quad
+
+
+def quad_form_tag_side(hct, wt_s, htt, g_t, slot_cap, d_cam, d_cap, d_tag,
+                       rows: TagRows | None = None):
+    """Tag-indexed contribution to (d^T g, d^T H d) — additive over tag
+    shards (each shard computes its tags' partial; psum the two scalars).
+
+    ``slot_cap`` is the flat per-slot capture index; padding slots carry
+    zero coupling blocks, so their (real) capture / clipped tag reads
+    contribute nothing.  With ``rows`` set, the wt_s leading axis is split
+    rows and d_tag expands via row_tag.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    lead, s_max = wt_s.shape[:2]
+    d_tag_rows = tags_to_rows(d_tag, rows) if rows is not None else d_tag
+    dcap_s = d_cap[slot_cap].reshape(lead, s_max, 6)
+    g_dot_d = jnp.sum(g_t * d_tag)
+    quad = (
+        2.0 * jnp.einsum("tij,i,tj->", hct, d_cam, d_tag, precision=hp)
+        + 2.0 * jnp.einsum("lsij,lsi,lj->", wt_s, dcap_s, d_tag_rows,
+                           precision=hp)
+        + jnp.einsum("tij,ti,tj->", htt, d_tag, d_tag, precision=hp)
+    )
+    return g_dot_d, quad
+
+
+def quad_form_grouped(eqs: GroupedEqs, slot_cap, d_cam, d_cap, d_tag,
+                      rows: TagRows | None = None):
+    """(d^T g, d^T H d) for the capture-sparse grouped layout.
+    See quad_form_flat for why this replaces the carried Jacobian table."""
+    gd_c, q_c = quad_form_cap_side(eqs.hcc, eqs.hcp, eqs.hpp, eqs.g_c,
+                                   eqs.g_p, d_cam, d_cap)
+    gd_t, q_t = quad_form_tag_side(eqs.hct, eqs.wt_s, eqs.htt, eqs.g_t,
+                                   slot_cap, d_cam, d_cap, d_tag, rows=rows)
+    return gd_c + gd_t, q_c + q_t
+
+
 def _scale_and_damp_tags(hct, wt_s, slot_cap, htt, g_t, s_c, s_p, tag_active,
                          lam, jacobi_scaling: bool = True,
                          min_diag: float = 1e-6, max_diag: float = 1e32,

@@ -149,3 +149,52 @@ def test_localize_unknown_tags_parity_switch():
     # and the recovered poses differ (the junk block pulls the solve)
     assert not np.allclose(s1.captures[f1].inv_pose,
                            s2.captures[f2].inv_pose)
+
+
+def test_localize_kernel_matches_f64_anchor():
+    """The f32 vmapped pose-only kernel lands on the INDEPENDENT f64 scipy
+    optimum (tools/cpu_anchor.py --mode localize): anchors localization
+    accuracy against a non-self-referential solver, the stand-in for the
+    reference's f64 Ceres pose-only solve (ar_slam_util.cpp:888-979).
+    Measured round 5: the demo img4 query's ~1.6-1.9 px rmse is the
+    query's genuine noise floor (3 map-known blocks, one occluded tag) —
+    the f64 anchor reproduces it to 6 decimal places from both the
+    kernel's answer and a perturbed seed."""
+    import importlib.util
+    import sys
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    spec = importlib.util.spec_from_file_location(
+        "cpu_anchor", os.path.join(tools, "cpu_anchor.py"))
+    cpu_anchor = importlib.util.module_from_spec(spec)
+    sys.modules["cpu_anchor"] = cpu_anchor
+    spec.loader.exec_module(cpu_anchor)
+
+    store = load_demo_store()  # img1-3
+    solve_batch(store, ArSlamConfig(), dtype=np.float32)
+    first = store.next_capture_index
+    add_fixture_capture(store, "cap_3")
+    result = localize_many(store, first, ArSlamConfig(), dtype=np.float32)
+    kernel_rmse = float(result["rmse"])
+    kernel_pose = np.asarray(store.captures[first].inv_pose, np.float64)
+
+    # identical query, f64 scipy, frozen tags + camera
+    tag_poses = np.stack([t.pose for t in store.arucos])
+    q_blocks = [store.blocks[bh] for bh in store.captures[first].blocks
+                if any(store.blocks[b2].cap_idx < first
+                       for b2 in store.arucos[store.blocks[bh].tag_idx]
+                       .blocks)]
+    ti = np.array([b.tag_idx for b in q_blocks])
+    crn = np.stack([b.corners for b in q_blocks])
+    pose_f64, _, rmse_f64 = cpu_anchor.solve_pose_only_scipy(
+        store.camera.params, tag_poses, ti, crn, kernel_pose)
+    # re-solve from a perturbed seed: same optimum => genuine basin
+    pose_p, _, rmse_p = cpu_anchor.solve_pose_only_scipy(
+        store.camera.params, tag_poses, ti, crn,
+        kernel_pose + np.array([0.05, -0.05, 0.1, 0.02, -0.02, 0.03]))
+
+    assert abs(kernel_rmse - rmse_f64) < 0.02, (kernel_rmse, rmse_f64)
+    assert np.abs(kernel_pose - pose_f64).max() < 1e-3
+    assert np.abs(pose_f64 - pose_p).max() < 1e-6, "anchor found a saddle"
+    assert abs(rmse_f64 - rmse_p) < 1e-6
