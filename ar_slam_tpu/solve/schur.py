@@ -329,11 +329,17 @@ def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
     # slots read row 0 of a REAL block, so they must be masked before the
     # sum.  The three products ride ONE fused (B, 60) gather — TPU gathers
     # are row-latency-bound, so 3 separate gathers cost ~3x this one.
+    # Products are broadcast-multiply + reduce, not einsum: the dot_general
+    # form materialized a (B, 6, 6){2,1,0} buffer (21x T(8,128) padding —
+    # 6.3 GB at 56k-tag probe scale) plus two bf16 operand copies of jp;
+    # the reduce fusions keep the block axis minor and pad nothing.
     b_rows = r.shape[0]
     cat = jnp.concatenate([
-        jnp.einsum("bri,brj->bij", jc, jp).reshape(b_rows, 18),
-        jnp.einsum("bri,brj->bij", jp, jp).reshape(b_rows, 36),
-        jnp.einsum("bri,br->bi", jp, r),
+        (jc[:, :, :, None] * jp[:, :, None, :]).sum(axis=1).reshape(
+            b_rows, 18),
+        (jp[:, :, :, None] * jp[:, :, None, :]).sum(axis=1).reshape(
+            b_rows, 36),
+        (jp * r[:, :, None]).sum(axis=1),
     ], axis=1)  # (B, 60)
     per = (cat[cap_gather] * mc[:, None]).reshape(lead_c, sc, 60).sum(axis=1)
     if cap_rows is not None:
@@ -344,28 +350,33 @@ def assemble_grouped(r, jc, jp, jt, cap_gather, cap_gmask, n_caps: int,
 
     # leading axis of the slot table: tags (rows=None) or split rows;
     # in the row-split layout the per-row partial sums reduce to tags by
-    # the static tag→rows gather (rows_to_tags) — still scatter-free
+    # the static tag→rows gather (rows_to_tags) — still scatter-free.
+    #
+    # The tag-side products are BROADCAST-MULTIPLY + REDUCE, not einsum:
+    # a dot_general whose operand/output trail in the tiny (8, 6) / (6, 6)
+    # dims forces T(8,128) tiling on those dims — 21-28x padding, four
+    # 4.48 GB buffers at 40k tags / 1.05M blocks (the round-5 OOM, probed
+    # with tools/hbm_probe.py).  Reduce fusions let XLA keep the BLOCK
+    # axis minor (zero padding, like the (B, 4, 2){0,1,2} corners buffer)
+    # and never materialize the (B, 8, 6, 6) products.  They are also
+    # exact f32 on the VPU — htt is the block that gets INVERTED (damped
+    # V), where bf16 MXU product noise (~1e-2) used to exceed the 1e-4 LM
+    # damping, flip blocks indefinite and reject every step at 10k-tag
+    # scale; the einsum needed Precision.HIGHEST for that, the VPU form is
+    # exact by construction.
     lead = r.shape[0] // s_max
-    hct = jnp.einsum("bri,brj->bij", jc, jt).reshape(
-        lead, s_max, 3, 6).sum(axis=1)
-    # htt is the block that gets INVERTED (damped V): TPU's default bf16
-    # matmul precision leaves ~1e-2 product noise, which exceeds the 1e-4
-    # LM damping and turned ~700 of the 10k-tag benchmark's blocks
-    # indefinite — the Cholesky inverse then broke elimination consistency
-    # and every LM step was rejected.  HIGHEST keeps the Gram products
-    # f32-accurate so damping guarantees PD.  (The other products only
-    # perturb the implicit S mildly and stay at default precision.)
-    htt = jnp.einsum("bri,brj->bij", jt, jt,
-                     precision=jax.lax.Precision.HIGHEST).reshape(
-        lead, s_max, 6, 6).sum(axis=1)
-    g_t = jnp.einsum("bri,br->bi", jt, r).reshape(
-        lead, s_max, 6).sum(axis=1)
+    jt_r = jt.reshape(lead, s_max * 8, 6)
+    jc_r = jc.reshape(lead, s_max * 8, 3)
+    r_r = r.reshape(lead, s_max * 8)
+    hct = (jc_r[:, :, :, None] * jt_r[:, :, None, :]).sum(axis=1)
+    htt = (jt_r[:, :, :, None] * jt_r[:, :, None, :]).sum(axis=1)
+    g_t = (jt_r * r_r[:, :, None]).sum(axis=1)
     if rows is not None:
         hct = rows_to_tags(hct, rows)
         htt = rows_to_tags(htt, rows)
         g_t = rows_to_tags(g_t, rows)
 
-    wt_s = jnp.einsum("bri,brj->bij", jp, jt).reshape(
+    wt_s = (jp[:, :, :, None] * jt[:, :, None, :]).sum(axis=1).reshape(
         lead, s_max, 6, 6)
     return GroupedEqs(hcc, hcp, hpp, hct, wt_s, htt, g_c, g_p, g_t)
 
@@ -431,8 +442,10 @@ def quad_form_tag_side(hct, wt_s, htt, g_t, slot_cap, d_cam, d_cap, d_tag,
     g_dot_d = jnp.sum(g_t * d_tag)
     quad = (
         2.0 * jnp.einsum("tij,i,tj->", hct, d_cam, d_tag, precision=hp)
-        + 2.0 * jnp.einsum("lsij,lsi,lj->", wt_s, dcap_s, d_tag_rows,
-                           precision=hp)
+        # broadcast-reduce, not einsum: a (·,6,6)-trailing dot_general
+        # operand pads 21x under T(8,128) (see assemble_grouped)
+        + 2.0 * jnp.sum(wt_s * dcap_s[:, :, :, None]
+                        * d_tag_rows[:, None, None, :])
         + jnp.einsum("tij,ti,tj->", htt, d_tag, d_tag, precision=hp)
     )
     return g_dot_d, quad
@@ -610,11 +623,16 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
     hcc = hcc + lam * jnp.diag(dd_c)
     hpp = hpp + lam * dd_p[:, :, None] * eye6
 
+    # per-slot block products are broadcast-multiply + reduce, NOT einsum
+    # (a (·,6,6)-trailing dot_general operand pads 21x under T(8,128) —
+    # see the assemble_grouped note; these run every CG matvec over the
+    # full block table, so a bad layout here is both the HBM peak and the
+    # bandwidth bill)
     def wt_v(vc, vp):
         """Wᵀ v per tag: (T, 6) = hctᵀ vc + Σ_s wtᵀ vp[cap(slot)]."""
         u = jnp.einsum("tik,i->tk", hct_s, vc)
         vp_slot = vp[slot_cap]  # (lead*S, 6) row gather
-        u_slots = jnp.einsum("bik,bi->bk", wt_flat, vp_slot)
+        u_slots = (wt_flat * vp_slot[:, :, None]).sum(axis=1)
         return u + per_tag_sum(u_slots.reshape(lead, s_max, 6).sum(axis=1))
 
     def w_z(z):
@@ -623,7 +641,7 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
         out_c = jnp.einsum("tik,tk->i", hct_s, z)
         z_slot = jnp.repeat(per_row_of_tag(z), s_max, axis=0,
                             total_repeat_length=lead * s_max)
-        per_slot = jnp.einsum("bik,bk->bi", wt_flat, z_slot)  # (lead*S, 6)
+        per_slot = (wt_flat * z_slot[:, None, :]).sum(axis=2)  # (lead*S, 6)
         return out_c, _cap_scatter(per_slot, cap_gather, cap_gmask, c,
                                    cap_rows)
 
@@ -649,7 +667,9 @@ def schur_solve_grouped_cg(eqs: GroupedEqs, slot_cap, cap_gather, cap_gmask,
     dg_c = jnp.einsum("tik,tkl,tjl->ij", hct_s, v_inv, hct_s)
     v_inv_slot = jnp.repeat(per_row_of_tag(v_inv), s_max, axis=0,
                             total_repeat_length=lead * s_max)
-    dg_slot = jnp.einsum("bik,bkl,bjl->bij", wt_flat, v_inv_slot, wt_flat)
+    # wt · v_inv · wtᵀ per slot, elementwise-reduce in two steps
+    a_slot = (wt_flat[:, :, :, None] * v_inv_slot[:, None, :, :]).sum(axis=2)
+    dg_slot = (a_slot[:, :, None, :] * wt_flat[:, None, :, :]).sum(axis=3)
     dg_p = _cap_scatter(dg_slot, cap_gather, cap_gmask, c, cap_rows)
     wvg_c, wvg_p, dg_c, dg_p = reduce_fn([wvg_c, wvg_p, dg_c, dg_p])
 
@@ -857,8 +877,8 @@ def backsub_tags_sparse(v_inv, hct_s, wt_ss, slot_cap, g_t_scaled, s_t,
     dp = delta_r[3:].reshape(-1, 6)
     wtd = jnp.einsum("tik,i->tk", hct_s, dc)
     dp_slot = dp[slot_cap]  # (lead*S, 6)
-    per_slot = jnp.einsum("bik,bi->bk",
-                          wt_ss.reshape(lead * s_max, 6, 6), dp_slot)
+    per_slot = (wt_ss.reshape(lead * s_max, 6, 6)
+                * dp_slot[:, :, None]).sum(axis=1)
     per_row = per_slot.reshape(lead, s_max, 6).sum(axis=1)
     wtd = wtd + (per_row if rows is None else rows_to_tags(per_row, rows))
     delta_t = -jnp.einsum("tkj,tj->tk", v_inv,
