@@ -145,9 +145,12 @@ def homography_unit_square(quad: np.ndarray) -> np.ndarray:
 
 def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
                 border_bits: int = 1, sub: int = 3,
-                min_otsu_std: float = 5.0, cell_margin: float = 0.13,
+                min_otsu_std: float = 12.0, cell_margin: float = 0.13,
                 bilinear: bool = True, min_bit_margin: float = 0.3,
-                border_frac: float = 0.65):
+                border_frac: float = 0.65,
+                min_strong_cell_frac: float = 0.25,
+                strong_cell_dev: float = 0.35,
+                min_cell_px: float = 2.0):
     """Sample the (s + 2b)² cell grid from the GRAY image: warp cell sample
     points through the quad homography, binarize with a per-quad Otsu
     threshold (like cv::aruco's perspective-removal + Otsu), majority-vote
@@ -155,6 +158,11 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
     (≙ minOtsuStdDev).  Defaults mirror DetectParams (tpu_detect.py):
     bilinear taps, border ≙ cv2's 35% erroneous-border allowance."""
     n = marker_size + 2 * border_bits
+    # min decodable cell size (same gate as the TPU detector): sub-taps of
+    # cells under ~2 px alias the same pixels — no physical print decodes
+    if np.min(np.linalg.norm(quad - np.roll(quad, -1, axis=0), axis=1)) \
+            < min_cell_px * n:
+        return None, False, None
     hmat = homography_unit_square(quad)
     # sample only the central band of each cell (cv2's
     # perspectiveRemoveIgnoredMarginPerCell=0.13): cell-boundary pixels are
@@ -184,14 +192,19 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
         yi = np.clip(np.round(xy[..., 1]).astype(int), 0, h - 1)
         samples = g[yi, xi]
     if samples.std() < min_otsu_std:
-        return None, False
+        return None, False, None
     thresh = otsu_threshold(samples)
     dark = samples < thresh
     cells = dark.reshape(n, sub, n, sub).mean(axis=(1, 3))
     # bit decisiveness (same guard as the TPU detector): kill blur-only
     # regions; id discrimination itself comes from hamming matching
     if 2.0 * np.median(np.abs(cells - 0.5)) < min_bit_margin:
-        return None, False
+        return None, False, None
+    # bimodality gate (same as DetectParams.min_strong_cell_frac): Otsu
+    # slicing a textureless patch at its noise floor leaves almost no cell
+    # decisive, yet chance-matches 16-bit words at corpus scale
+    if np.mean(np.abs(cells - 0.5) >= strong_cell_dev) < min_strong_cell_frac:
+        return None, False, None
     grid_dark = cells > 0.5  # True = dark
     b = border_bits
     border = np.concatenate([
@@ -201,7 +214,9 @@ def sample_bits(gray: np.ndarray, quad: np.ndarray, marker_size: int,
     border_ok = border.mean() > border_frac
     inner = grid_dark[b:-b, b:-b]
     bits = (~inner).astype(np.uint8)  # white = 1 (canonical convention)
-    return bits, border_ok
+    # analog inner grid (whiteness) for cross-dictionary arbitration
+    analog = 1.0 - cells[b:-b, b:-b]
+    return bits, border_ok, analog
 
 
 def otsu_threshold(values: np.ndarray) -> float:
@@ -335,9 +350,16 @@ def detect_markers(
             # ~2 px off, enough to flip a bit of a small far-away tag
             if refine:
                 quad_s = refine_corners(gray, quad_s)
+            # try every dictionary and keep the smallest ANALOG
+            # disagreement with its matched word (same arbitration as the
+            # device pipeline): a real marker re-sampled on another
+            # dictionary's cell alignment can chance-match a word at a
+            # lucky hamming distance, but its cells sit near 0.5 there
+            # while the aligned decode is hard at 0/1
+            matches = []
             for d in dicts:
                 try:
-                    bits, border_ok = sample_bits(
+                    bits, border_ok, analog = sample_bits(
                         gray, quad_s, d.marker_size, border_bits
                     )
                 except np.linalg.LinAlgError:
@@ -349,29 +371,38 @@ def detect_markers(
                 marker_id, rot = d.identify(bits, mh)
                 if marker_id < 0:
                     continue
-                # identify() found observed == rot90(canonical, rot); the
-                # canonical top-left then sits at sampled corner index
-                # (4 - rot) % 4, i.e. forward-roll by rot (verified against
-                # cv::aruco corner order on the demo images)
-                corners = np.roll(quad_s, rot, axis=0)
-                center = corners.mean(axis=0)
-                dup = False
-                for name, c0 in seen_centers:
-                    if name == d.name and np.linalg.norm(center - c0) < 0.3 * perimeter / 4:
-                        dup = True
-                        break
-                if dup:
-                    continue
-                seen_centers.append((d.name, center))
-                detections.append(
-                    Detection(
-                        id=f"aruco_{d.name}_{marker_id}",
-                        marker_id=marker_id,
-                        dict_name=d.name,
-                        corners=corners,
-                    )
+                # identify matched observed == rot90(canonical, rot), so
+                # the matched word in the SAMPLED orientation is exactly
+                # the precomputed rotation row
+                word = d.rotations[rot, marker_id].reshape(
+                    d.marker_size, d.marker_size)
+                soft = float(np.mean(np.abs(analog - word)))
+                matches.append((soft, d, marker_id, rot))
+            if not matches:
+                continue
+            soft, d, marker_id, rot = min(matches, key=lambda m: m[0])
+            # identify() found observed == rot90(canonical, rot); the
+            # canonical top-left then sits at sampled corner index
+            # (4 - rot) % 4, i.e. forward-roll by rot (verified against
+            # cv::aruco corner order on the demo images)
+            corners = np.roll(quad_s, rot, axis=0)
+            center = corners.mean(axis=0)
+            dup = False
+            for name, c0 in seen_centers:
+                if name == d.name and np.linalg.norm(center - c0) < 0.3 * perimeter / 4:
+                    dup = True
+                    break
+            if dup:
+                continue
+            seen_centers.append((d.name, center))
+            detections.append(
+                Detection(
+                    id=f"aruco_{d.name}_{marker_id}",
+                    marker_id=marker_id,
+                    dict_name=d.name,
+                    corners=corners,
                 )
-                break  # matched one dictionary; stop trying others
+            )
     return detections
 
 

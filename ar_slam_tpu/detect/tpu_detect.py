@@ -51,7 +51,20 @@ class DetectParams(NamedTuple):
     min_perimeter_rate: float = 0.03
     max_perimeter_rate: float = 4.0
     min_corner_distance_rate: float = 0.1
-    min_otsu_std: float = 5.0
+    # cv2's minOtsuStdDev default is 5.0, but cv2 only decodes candidates
+    # that survived contour + polygon approximation — a structural filter
+    # the dense fixed-budget candidate stage here does not have.  At
+    # sigma-10 pixel noise a bare noise speckle measures std ~6.5 after
+    # the bilinear taps (4-tap averaging halves sigma) and chance-matches
+    # a 16-bit word at corpus scale (all three round-5 stress-corpus
+    # false positives were exactly this).  12 sits >3x above that floor
+    # and >2x below any real printed marker's contrast (>=30 even under
+    # the 0.55 illumination ramp + blur).
+    min_otsu_std: float = 12.0
+    # a cell must cover >= this many pixels of quad side to be decodable
+    # at all (the sub-taps of smaller cells alias the same pixels); kills
+    # sub-marker-scale speckle quads that no physical print could produce
+    min_cell_px: float = 2.0
     # cv2 allows up to 35% erroneous border bits (maxErroneousBitsInBorderRate,
     # aruco detector defaults); requiring 85% dark border cost ~4 points of
     # 28-px stress recall (round-4 lab) with no measured precision change —
@@ -94,6 +107,19 @@ class DetectParams(NamedTuple):
     # max_candidates must not evict marker-sized components.  cv2 has no
     # candidate budget to defend; this is the budget's guard rail.
     max_area_frac: float = 0.25
+    # precision gate (round-5 FP lab): Otsu slicing a TEXTURELESS patch
+    # (clutter + pixel noise) yields ~Bin(sub², ½) cell darknesses — almost
+    # no cell is decisive — yet 16-bit hamming-0 chance matches happen at
+    # corpus scale (~2^-16 × ids × rotations × candidates).  Real markers
+    # are BIMODAL: even under σ2.2 blur at 28 px, ~half the cells sit hard
+    # at 0/1 (the blur halves the MEDIAN margin, not the strong mass).
+    # Require ≥ this fraction of cells with |darkness − ½| ≥ strong_cell_dev
+    # (noise patches measure ~0.04 ± 0.03; worst real markers ~0.4).
+    min_strong_cell_frac: float = 0.25
+    strong_cell_dev: float = 0.35
+    # keep only the best-analog-match dictionary when one candidate slot
+    # passes in several (see per_image in detect_batch)
+    cross_dict_arbitration: bool = True
 
 
 def box_mean(img, win: int):
@@ -417,76 +443,126 @@ def otsu_batch(samples, bins: int = 32):
     return jnp.take_along_axis(centers, best[:, None], axis=1)[:, 0]
 
 
-def decode_candidates(gray, quads, valid, dict_name: str,
-                      params: DetectParams, tables):
-    """Decode candidate quads against one dictionary.
-
-    Returns (marker_ids (K,), rot (K,), corners (K, 4, 2), ok (K,)).
-
-    Everything here runs under float32 matmul precision: the homography
-    solve and grid projection produce pixel coordinates, where default
-    bf16 MXU products cost ~1-2 px — fatal for sub-5-px cells (see the
-    HIGHEST note at the projection einsum).  The extra cost is nil (these
-    are K-sized 8x8/3x3 systems).
-    """
-    with jax.default_matmul_precision("float32"):
-        return _decode_candidates(gray, quads, valid, dict_name, params,
-                                  tables)
-
-
-def _decode_candidates(gray, quads, valid, dict_name: str,
-                       params: DetectParams, tables):
-    d_bits, max_hamming = tables[dict_name]
-    n_markers = d_bits.shape[1]
-    s = int(np.sqrt(d_bits.shape[2]))
-    b = 1
-    n = s + 2 * b
-    sub = params.sub
-    h, w = gray.shape
-
-    hmat = homography_unit_square_batch(quads)  # (K, 3, 3)
-    cm = params.cell_margin
+def _grid_points(n: int, sub: int, cm: float):
+    """Unit-square sample points for an n×n cell grid, sub² taps per cell
+    inside the central (1-2·cm) band.  Returns (P, 3) homogeneous points,
+    row-major over (cell_v, tap_v, cell_u, tap_u) so ``samples.reshape(k,
+    n, sub, n, sub)`` recovers the per-cell taps."""
     offs = cm + (jnp.arange(sub, dtype=jnp.float32) + 0.5) / sub * (
         1.0 - 2.0 * cm)
     cell = jnp.arange(n, dtype=jnp.float32)
     u = (cell[:, None] + offs[None, :]).reshape(-1) / n  # (n*sub,)
     uu, vv = jnp.meshgrid(u, u, indexing="xy")
-    pts = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)  # (ns, ns, 3)
-    # HIGHEST: this einsum produces PIXEL COORDINATES (~1e2-1e3); the MXU's
-    # default bf16 products carry ~1-2 px noise there, which flips bits of
-    # sub-5-px cells — measured 0.17-0.44 vs 0.69 recall at 28-px markers
-    # (TPU vs CPU, round-4 lab) before pinning
-    proj = jnp.einsum("kij,abj->kabi", hmat, pts,
-                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.stack(
+        [uu, vv, jnp.ones_like(uu)], axis=-1).reshape(-1, 3)  # (P, 3)
+
+
+def _bilinear_payload(gray):
+    """(H*W, 4) stack of [g(y,x), g(y,x+1), g(y+1,x), g(y+1,x+1)] so all
+    four bilinear corner fetches of a point ride ONE gathered row.
+
+    Gather cost on TPU scales with the INDEX count, not the payload width
+    (round-4 measurement: fusing 3 same-indexed gathers into one (B, 60)
+    gather took schur assembly 315 → 357 iter/s) — stacking the taps into
+    the payload quarters the decode's gathered-index count vs stacking
+    them on the offset axis, for one cheap elementwise pass building this
+    array.  The rolls are safe because sampling clips x0 ≤ w-2, y0 ≤ h-2.
+    """
+    flat = gray.reshape(-1)
+    w = gray.shape[1]
+    return jnp.stack([
+        flat,
+        jnp.roll(flat, -1),
+        jnp.roll(flat, -w),
+        jnp.roll(flat, -(w + 1)),
+    ], axis=-1)  # (H*W, 4)
+
+
+def _project_points(quads, pts, h: int, w: int):
+    """Project unit-square points through per-quad homographies to pixel
+    coords.  quads (K, 4, 2), pts (P, 3) -> xy (K, P, 2) float32.
+
+    Runs under float32 matmul precision: the homography solve and the
+    projection einsum produce PIXEL COORDINATES (~1e2-1e3); the MXU's
+    default bf16 products carry ~1-2 px noise there, which flips bits of
+    sub-5-px cells — measured 0.17-0.44 vs 0.69 recall at 28-px markers
+    (TPU vs CPU, round-4 lab) before pinning."""
+    with jax.default_matmul_precision("float32"):
+        hmat = homography_unit_square_batch(quads)  # (K, 3, 3)
+        proj = jnp.einsum("kij,pj->kpi", hmat, pts,
+                          precision=jax.lax.Precision.HIGHEST)
     xy = proj[..., :2] / jnp.maximum(jnp.abs(proj[..., 2:3]), 1e-9) * jnp.sign(
         proj[..., 2:3] + 1e-30
     )
+    return xy
+
+
+def _sample_points(gray, xy, params: DetectParams, payload4=None):
+    """Sample the image at projected points.  xy (K, P, 2) -> (K, P).
+
+    With ``params.bilinear``, pass ``payload4 = _bilinear_payload(gray)``
+    (shared across dictionaries) to fetch all four taps per point in one
+    gathered row; cv2's decode warps the patch (interpolating), and
+    nearest-neighbor taps lose sub-5-px cells to quantization noise."""
+    h, w = gray.shape
     if params.bilinear:
-        # cv2's decode warps the patch (interpolating); nearest-neighbor
-        # taps lose sub-5-px cells to quantization noise (docstring above).
-        # The four corner fetches ride ONE gather over a stacked offset
-        # axis — separate gathers lower to four latency-bound scalar-
-        # gather fusions here
         xf = jnp.clip(xy[..., 0], 0.0, w - 1.0)
         yf = jnp.clip(xy[..., 1], 0.0, h - 1.0)
         x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 2)
         y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 2)
         fx = xf - x0.astype(xf.dtype)
         fy = yf - y0.astype(yf.dtype)
-        lin = y0 * w + x0  # (K, ns, ns)
-        idx4 = jnp.stack([lin, lin + 1, lin + w, lin + w + 1])  # (4, ...)
-        g4 = gray.reshape(-1)[idx4]
-        g00, g01, g10, g11 = g4[0], g4[1], g4[2], g4[3]
-        samples = (g00 * (1 - fx) * (1 - fy) + g01 * fx * (1 - fy)
-                   + g10 * (1 - fx) * fy + g11 * fx * fy)  # (K, ns, ns)
-    else:
-        xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
-        samples = gray[yi, xi]  # (K, ns, ns)
+        lin = y0 * w + x0  # (K, P)
+        if payload4 is None:
+            payload4 = _bilinear_payload(gray)
+        s4 = payload4[lin]  # (K, P, 4) — ONE gather, K*P indices
+        w4 = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                        (1 - fx) * fy, fx * fy], axis=-1)
+        return (s4 * w4).sum(axis=-1)
+    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    return gray[yi, xi]  # (K, P)
+
+
+def decode_candidates(gray, quads, valid, dict_name: str,
+                      params: DetectParams, tables):
+    """Decode candidate quads against one dictionary.
+
+    Returns (marker_ids (K,), rot (K,), corners (K, 4, 2), ok (K,)).
+
+    Single-dictionary convenience path (tests / oracle parity); the
+    batched pipeline samples ALL dictionaries' grids through one shared
+    projection + gather (see detect_batch) and decodes each from its
+    slice with ``_decode_bits`` — identical math.
+    """
+    d_bits, _ = tables[dict_name]
+    s = int(np.sqrt(d_bits.shape[2]))
+    n = s + 2
+    pts = _grid_points(n, params.sub, params.cell_margin)
+    xy = _project_points(quads, pts, *gray.shape)
+    samples = _sample_points(gray, xy, params)
+    return _decode_bits(samples, quads, valid, dict_name, params,
+                        tables)[:4]
+
+
+def _decode_bits(samples, quads, valid, dict_name: str,
+                 params: DetectParams, tables):
+    """Threshold sampled grids and match against one dictionary.
+
+    samples: (K, P) with P = (n·sub)² in _grid_points order."""
+    d_bits, max_hamming = tables[dict_name]
+    n_markers = d_bits.shape[1]
+    s = int(np.sqrt(d_bits.shape[2]))
+    b = 1
+    n = s + 2 * b
+    sub = params.sub
 
     k = quads.shape[0]
     flat = samples.reshape(k, -1)
     std_ok = flat.std(axis=1) >= params.min_otsu_std
+    # min decodable cell size (see DetectParams.min_cell_px)
+    edges = jnp.linalg.norm(quads - jnp.roll(quads, -1, axis=1), axis=-1)
+    std_ok &= edges.min(axis=1) / n >= params.min_cell_px
     thresh = otsu_batch(flat)
     dark = flat < thresh[:, None]
     cells = dark.reshape(k, n, sub, n, sub).mean(axis=(2, 4))  # (K, n, n)
@@ -495,6 +571,12 @@ def _decode_candidates(gray, quads, valid, dict_name: str,
         jnp.abs(cells - 0.5).reshape(k, -1), axis=1
     )
     margin_ok = bit_margin >= params.min_bit_margin
+    # bimodality gate (see DetectParams.min_strong_cell_frac): texture-less
+    # patches Otsu-sliced at their noise floor have almost no decisive cell
+    strong_frac = jnp.mean(
+        (jnp.abs(cells - 0.5) >= params.strong_cell_dev).astype(jnp.float32),
+        axis=(1, 2))
+    strong_ok = strong_frac >= params.min_strong_cell_frac
 
     border_mask = jnp.zeros((n, n), bool).at[:b, :].set(True)
     border_mask = border_mask.at[-b:, :].set(True)
@@ -514,11 +596,21 @@ def _decode_candidates(gray, quads, valid, dict_name: str,
     rot = flat_idx // n_markers
     marker_id = flat_idx % n_markers
 
-    ok = valid & std_ok & border_ok & margin_ok & (min_dist <= max_hamming)
+    # ANALOG disagreement with the matched word (cross-dictionary
+    # arbitration key): mean |whiteness − word_bit| over the inner grid.
+    # An aligned true decode has cells hard at 0/1 (≈0.05-0.15); a
+    # chance match on misaligned / textureless samples sits near 0.5
+    # (≈0.3+) regardless of its (lucky) hamming distance.
+    analog = 1.0 - cells[:, b:-b, b:-b].reshape(k, s * s)  # whiteness
+    word = t[flat_idx]  # (K, s²)
+    soft_dist = jnp.mean(jnp.abs(analog - word), axis=1)
+
+    ok = (valid & std_ok & border_ok & margin_ok & strong_ok
+          & (min_dist <= max_hamming))
     # canonicalize corner order: forward-roll by rot
     roll_idx = (jnp.arange(4)[None, :] - rot[:, None]) % 4
     corners = jnp.take_along_axis(quads, roll_idx[..., None], axis=1)
-    return marker_id, rot, corners, ok
+    return marker_id, rot, corners, ok, soft_dist
 
 
 def refine_corners_batched(grays, corners, win: int, iters: int,
@@ -737,8 +829,50 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
             perim = jnp.linalg.norm(
                 quads_b - jnp.roll(quads_b, -1, axis=2), axis=-1
             ).sum(axis=2)
-            key = jnp.where(valid_b, perim, -1.0)
-            order = jnp.argsort(-key, axis=1)[:, :k]  # (N, K)
+            # cross-window dedup in the top-K RANKING: the same marker
+            # detected in all nw windows is near-identical geometry
+            # (centers within a couple px) and would otherwise occupy nw
+            # of the K slots — scenes with > ~K/nw real markers would
+            # evict small valid quads.  Duplicates are DEMOTED below every
+            # non-duplicate, NOT invalidated: under heavy blur the
+            # windows' quads of one marker differ enough that only one of
+            # them decodes, and which one is unknowable before decode —
+            # round-5 lab measured both a drop-the-duplicate version
+            # (recall 0.928 -> 0.914: the kept quad sometimes fails
+            # decode) and a loose-gate (1.5x-perimeter) version that ate
+            # true quads in favor of CONCENTRIC junk components
+            # (marker + quiet zone + clutter, ~1.4x perimeter; recall
+            # 0.56).  Demoted duplicates still decode whenever the K
+            # budget has room; _suppress_duplicates arbitrates after
+            # decode as before.
+            centers = quads_b.mean(axis=2)  # (N, M, 2)
+            cdist = jnp.linalg.norm(
+                centers[:, :, None] - centers[:, None, :], axis=-1)
+            pmin = jnp.minimum(perim[:, :, None], perim[:, None, :])
+            pmax = jnp.maximum(perim[:, :, None], perim[:, None, :])
+            both = valid_b[:, :, None] & valid_b[:, None, :]
+            m = perim.shape[1]
+            dup = (both & (cdist < 0.1 * pmin / 4.0)
+                   & (pmax < 1.1 * pmin)
+                   & ~jnp.eye(m, dtype=bool)[None])
+            beaten = (dup & (
+                (perim[:, None, :] > perim[:, :, None])
+                | ((perim[:, None, :] == perim[:, :, None])
+                   & (jnp.arange(m)[None, None, :]
+                      < jnp.arange(m)[None, :, None]))
+            )).any(axis=2)
+            # rank: non-duplicate valids first (perim + LARGE), duplicate
+            # valids next (bare perim), invalid slots last.  The sweep
+            # decodes 2K slots (not K): under pixel noise a threshold
+            # plane grows >K valid speckle quads and a perimeter cut at K
+            # evicts real small markers (round-5 lab: -4 hits in the
+            # blur-2.2/noise-10 cells at K); the payload-stacked gather
+            # made decode ~4x cheaper per slot, so 2K still halves the
+            # round-4 decode bill.
+            key = jnp.where(valid_b, perim + jnp.where(beaten, 0.0, 1e6),
+                            -1.0)
+            kdec = min(2 * k, nw * k)
+            order = jnp.argsort(-key, axis=1)[:, :kdec]  # (N, 2K)
             quads_b = jnp.take_along_axis(
                 quads_b, order[..., None, None], axis=1)
             valid_b = jnp.take_along_axis(valid_b, order, axis=1)
@@ -755,13 +889,53 @@ def detect_batch(images, *, params: DetectParams = DetectParams(),
                 use_pallas=use_pallas,
             )
 
+    # one point set for ALL dictionaries: their grids concatenate on the
+    # point axis, so the homography solve, the projection einsum and the
+    # bilinear gather run ONCE per image (the gather was 32.8% of device
+    # time when each dictionary paid its own; cost scales with index count)
+    grid_pts = []
+    splits = [0]
+    for name in dict_names:
+        s_d = int(np.sqrt(tables[name][0].shape[2]))
+        grid_pts.append(_grid_points(s_d + 2, params.sub, params.cell_margin))
+        splits.append(splits[-1] + grid_pts[-1].shape[0])
+    pts_all = jnp.concatenate(grid_pts, axis=0)  # (P_all, 3)
+
     def per_image(gray, quads, valid):
-        out = {}
-        for name in dict_names:
+        with jax.named_scope("detect_decode_sample"):
+            xy = _project_points(quads, pts_all, h, w)
+            payload4 = _bilinear_payload(gray) if params.bilinear else None
+            samples_all = _sample_points(gray, xy, params, payload4)
+        decoded = []
+        for i, name in enumerate(dict_names):
             with jax.named_scope(f"detect_decode_{name}"):
-                mid, rot, corners, ok = decode_candidates(
-                    gray, quads, valid, name, params, tables
-                )
+                decoded.append(_decode_bits(
+                    samples_all[:, splits[i]:splits[i + 1]], quads, valid,
+                    name, params, tables
+                ))
+        if len(dict_names) > 1 and params.cross_dict_arbitration:
+            # cross-dictionary arbitration: a real marker of one
+            # dictionary, re-sampled on another dictionary's cell
+            # alignment, yields semi-random bits that chance-match a word
+            # at corpus scale (a 16-bit hamming-0 match is ~2^-16 x ids x
+            # rotations per candidate — round-5 FP lab caught exactly
+            # this).  When the SAME candidate slot passes in several
+            # dictionaries, keep the smallest ANALOG disagreement: the
+            # aligned true decode is hard at 0/1, the chance match is not.
+            # (Divergence from the reference, which runs detectors
+            # independently and would add both landmarks; see README.)
+            soft = jnp.stack([
+                jnp.where(ok, sd, jnp.inf)
+                for (_, _, _, ok, sd) in decoded
+            ])  # (D, K)
+            best = jnp.argmin(soft, axis=0)  # (K,)
+            decoded = [
+                (dmid, rot, crn, ok & (best == i), sd)
+                for i, (dmid, rot, crn, ok, sd) in enumerate(decoded)
+            ]
+        out = {}
+        for i, name in enumerate(dict_names):
+            mid, rot, corners, ok, _ = decoded[i]
             if len(windows) > 1:
                 ok = _suppress_duplicates(mid, corners, ok)
             out[name] = {
