@@ -208,6 +208,13 @@ def solve_wave_multi(
     )
 
 
+def _wave_entry(*args, **kw):
+    """Positional-only adapter for the export cache (jax.export needs a
+    fixed positional calling convention; the traced iter_budget rides as
+    the last positional argument)."""
+    return solve_wave_multi(*args[:-1], iter_budget=args[-1], **kw)
+
+
 def _maybe_calibrate_focal(store: MapStore, config) -> None:
     """Self-calibrate the initial focal from tag homographies unless the
     focal is already trusted (checkpoint restore / previous calibration) or
@@ -365,6 +372,42 @@ class _WaveRunner:
         # per-wave LM budget (traced); config.max_iterations is the static
         # bound and covers final_polish_iterations too (_lm_config)
         self.wave_budget = solver_cfg.max_iterations
+
+    def _wave_call(self, camera, cap_poses, tag_poses, block_mask,
+                   cam_active, cap_active, tag_active, seed_caps,
+                   seed_blocks, wave_tags, wave_rows, wave_mask,
+                   anchor_rows, anchor_mask, lm_enabled, iter_budget):
+        """One fused wave dispatch, via the persistent EXPORT cache when
+        possible: tracing the wave program (the multi-anchor seed
+        prologue's vmap/jacfwd/scan trees) costs seconds per process —
+        ~2/3 of the round-4 cold demo solve — and the deserialized
+        StableHLO replay skips it entirely (~6 ms).  Falls back to the
+        ordinary jit path on any mismatch; the dist path and custom
+        assemble_fn never use the cache (callables don't key)."""
+        pos = (camera, cap_poses, tag_poses, self.cap_idx, self.tag_idx,
+               self.corners, block_mask, cam_active, cap_active, tag_active,
+               seed_caps, seed_blocks, wave_tags, wave_rows, wave_mask,
+               anchor_rows, anchor_mask, lm_enabled)
+        kw = dict(aruco_size=self.aruco_size, config=self.config,
+                  assemble_fn=self.assemble_fn, seed_mode=self.seed_mode,
+                  obs_per_tag=self.obs_per_tag, obs_per_cap=self.obs_per_cap,
+                  row_slots=self.row_slots, tag_rows=self.tag_rows,
+                  cap_rows=self.cap_rows)
+        ib = jnp.asarray(iter_budget, jnp.int32)
+        if self.assemble_fn is None:
+            from functools import partial as _partial
+
+            from ar_slam_tpu.utils.export_cache import cached_exported
+
+            statics = repr((self.aruco_size, self.config, self.seed_mode,
+                            self.obs_per_tag, self.obs_per_cap,
+                            self.row_slots, self.tag_rows, self.cap_rows))
+            call = cached_exported(
+                "wave", lambda: jax.jit(_partial(_wave_entry, **kw)),
+                pos + (ib,), statics)
+            if call is not None:
+                return call(*pos, ib)
+        return solve_wave_multi(*pos, iter_budget=ib, **kw)
 
     def polish(self, budget: int):
         """One extra LM pass (no new seeds) with a bigger iteration budget
@@ -594,9 +637,8 @@ class _WaveRunner:
                 and warm_caps.any() and (cap_active & ~warm_caps).any()
                 and not self.progress):
             (self.camera, self.cap_poses, self.tag_poses, _) = (
-                solve_wave_multi(
+                self._wave_call(
                     self.camera, self.cap_poses, self.tag_poses,
-                    self.cap_idx, self.tag_idx, self.corners,
                     jnp.asarray(self.active_blocks.copy()),
                     jnp.asarray(False), jnp.asarray(warm_caps),
                     jnp.asarray(warm_tags),
@@ -605,13 +647,7 @@ class _WaveRunner:
                     jnp.asarray(wave_mask), jnp.asarray(anchor_rows),
                     jnp.asarray(anchor_mask),
                     jnp.asarray(True),
-                    aruco_size=self.aruco_size, config=self.config,
-                    assemble_fn=self.assemble_fn, seed_mode=self.seed_mode,
-                    obs_per_tag=self.obs_per_tag,
-                    obs_per_cap=self.obs_per_cap,
-                    row_slots=self.row_slots, tag_rows=self.tag_rows,
-                    cap_rows=self.cap_rows,
-                    iter_budget=budget,
+                    budget,
                 ))
             # seeds were applied by the warmup dispatch; the joint pass
             # below must not re-apply them
@@ -625,9 +661,8 @@ class _WaveRunner:
             # apply the seeds fused, then HOST-STEP the LM one iteration
             # per device call, printing a ceres-style line each time
             (self.camera, self.cap_poses, self.tag_poses, _) = (
-                solve_wave_multi(
+                self._wave_call(
                     self.camera, self.cap_poses, self.tag_poses,
-                    self.cap_idx, self.tag_idx, self.corners,
                     jnp.asarray(self.active_blocks.copy()),
                     jnp.asarray(True), jnp.asarray(cap_active),
                     jnp.asarray(self.active_tags.copy()),
@@ -636,20 +671,14 @@ class _WaveRunner:
                     jnp.asarray(wave_mask), jnp.asarray(anchor_rows),
                     jnp.asarray(anchor_mask),
                     jnp.asarray(False),
-                    aruco_size=self.aruco_size, config=self.config,
-                    assemble_fn=self.assemble_fn, seed_mode=self.seed_mode,
-                    obs_per_tag=self.obs_per_tag,
-                    obs_per_cap=self.obs_per_cap,
-                    row_slots=self.row_slots, tag_rows=self.tag_rows,
-                    cap_rows=self.cap_rows,
+                    budget,
                 ))
             self.last_info = self._lm_host_stepped(cap_active, budget_i)
             return self.last_info
 
         (self.camera, self.cap_poses, self.tag_poses, info) = (
-            solve_wave_multi(
+            self._wave_call(
                 self.camera, self.cap_poses, self.tag_poses,
-                self.cap_idx, self.tag_idx, self.corners,
                 jnp.asarray(self.active_blocks.copy()),
                 jnp.asarray(True),
                 jnp.asarray(cap_active),
@@ -662,16 +691,7 @@ class _WaveRunner:
                 jnp.asarray(anchor_rows),
                 jnp.asarray(anchor_mask),
                 jnp.asarray(lm_enabled),
-                aruco_size=self.aruco_size,
-                config=self.config,
-                assemble_fn=self.assemble_fn,
-                seed_mode=self.seed_mode,
-                obs_per_tag=self.obs_per_tag,
-                obs_per_cap=self.obs_per_cap,
-                row_slots=self.row_slots,
-                tag_rows=self.tag_rows,
-                cap_rows=self.cap_rows,
-                iter_budget=budget,
+                budget,
             )
         )
         self.last_info = info
