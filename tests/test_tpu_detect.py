@@ -236,3 +236,32 @@ def test_serpentine_ccl_converges_at_default_iters():
         jnp.asarray(img), DetectParams().ccl_iters))
     fg = labels[img]
     assert (fg == fg[0]).all(), "serpentine under-merged at default iters"
+
+
+def test_noise_speckle_does_not_decode():
+    """Precision guard (round-5 FP lab): pure pixel-noise patches must not
+    decode as markers.  Otsu slicing a textureless patch yields ~random
+    bits, and 16-bit hamming-0 chance matches are certain at corpus scale
+    (~2^-16 x ids x rotations per candidate); the min_otsu_std=12 +
+    min_cell_px gates exist exactly for this.  A real marker in the same
+    noisy scene must still decode."""
+    rng = np.random.default_rng(11)
+    canvas = np.full((768, 1024), 190, np.float64)
+    q = np.array([[460, 330], [570, 334], [566, 442], [458, 438]], float)
+    canvas_u8 = canvas.astype(np.uint8)
+    place_marker(canvas_u8, render_marker("4X4_50", 13, 96), q)
+    noisy = np.clip(canvas_u8 + rng.normal(scale=10.0, size=canvas.shape),
+                    0, 255).astype(np.uint8)
+    out = detect_batch(
+        jnp.asarray(noisy[None]),
+        params=DetectParams(win_sizes=(3, 13, 23), max_candidates=64),
+        dict_names=("4X4_50", "5X5_100"),
+    )
+    for name in ("4X4_50", "5X5_100"):
+        ids = np.asarray(out[name]["ids"][0])
+        valid = np.asarray(out[name]["valid"][0])
+        got = sorted(int(i) for i in ids[valid])
+        if name == "4X4_50":
+            assert got == [13], got  # the real marker, nothing else
+        else:
+            assert got == [], got  # no chance-match on the noise field
