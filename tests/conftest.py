@@ -35,6 +35,16 @@ def pytest_collection_modifyitems(config, items):
     """Keep the default run under ~10 min on a small box: the heaviest
     integration tests (multihost, stream e2e, oracle recall stress, ...)
     are @pytest.mark.slow and need --runslow or AR_SLAM_SLOW=1."""
+    if os.environ.get("AR_SLAM_TEST_TPU"):
+        # the chip is f32: tests that pin math against an f64 oracle at
+        # 1e-8..1e-15 tolerances are CPU-only by design (the chip run's
+        # value is the f32/bf16-sensitive behavior: detection parity, LM
+        # recovery, localize, incremental — those carry dtype-aware bounds)
+        skip_f64 = pytest.mark.skip(
+            reason="f64-precision oracle test: CPU-only by design")
+        for item in items:
+            if "f64_oracle" in item.keywords:
+                item.add_marker(skip_f64)
     if config.getoption("--runslow") or os.environ.get("AR_SLAM_SLOW"):
         return
     skip = pytest.mark.skip(reason="slow test: use --runslow or AR_SLAM_SLOW=1")

@@ -12,6 +12,11 @@ from ar_slam_tpu.core import lie
 RNG = np.random.default_rng(42)
 
 
+
+# every test here pins the lie math against scipy/closed forms at f64
+# tolerances (1e-8..1e-15): CPU-only by design (see the f64_oracle marker)
+pytestmark = pytest.mark.f64_oracle
+
 def random_aa(scale=np.pi * 0.9):
     v = RNG.normal(size=3)
     v = v / np.linalg.norm(v)

@@ -19,6 +19,14 @@ from ar_slam_tpu.utils.synthetic import make_synthetic_map
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 ARUCO_SIZE = 0.0635
 
+# dtype-aware recovery floor: the chip run (AR_SLAM_TEST_TPU, f32) converges
+# exact-observation problems to ~1e-4 px (measured; a broken LM sits at
+# 8-40 px); the CPU suite (x64) reaches true machine-zero
+import jax as _jax
+
+_F64 = bool(_jax.config.jax_enable_x64)
+RECOVERY_RMSE = 1e-5 if _F64 else 1e-3
+
 
 def load_demo_store(n=3):
     with open(os.path.join(FIXTURES, "demo_detections.yaml")) as f:
@@ -56,7 +64,8 @@ def test_lm_recovers_perturbed_truth():
         aruco_size=ARUCO_SIZE, config=LMConfig(max_iterations=100),
     )
     rmse = rmse_from_cost(float(info["cost"]), arrs.n_blocks)
-    assert rmse < 1e-5, f"rmse {rmse} not ~0; iters={int(info['iterations'])}"
+    assert rmse < RECOVERY_RMSE, (
+        f"rmse {rmse} not ~0; iters={int(info['iterations'])}")
 
 
 def test_lm_cost_never_increases():
@@ -147,8 +156,13 @@ def test_demo_solve_matches_scipy_reference():
     )
 
 
+@pytest.mark.f64_oracle
 def test_padding_invariance():
-    """Solution must not depend on padding: same problem, two paddings."""
+    """Solution must not depend on padding: same problem, two paddings.
+
+    f64-only: at f32 the different padded reduction orders legitimately
+    round differently, and LM iteration paths diverge chaotically from
+    that -- there is no padding-invariant f32 answer to pin."""
     store, _ = make_synthetic_map(n_tags=6, n_caps=3, seed=4)
     a1 = export_arrays(store, pad=True)
 
@@ -263,6 +277,7 @@ def _perturbed_problem(n_tags=9, n_caps=5, seed=1, scale=0.02):
     return arrs, cap_poses, tag_poses
 
 
+@pytest.mark.f64_oracle
 def test_grouped_assembly_matches_flat():
     """assemble_grouped over the tag-grouped table reproduces the flat
     assemble blocks exactly (up to summation order); the capture-sparse
@@ -346,11 +361,14 @@ def test_lm_grouped_matches_flat_solve():
     cam_g, caps_g, tags_g, info_g = run(obs_per_tag=s_max)
     rmse_f = rmse_from_cost(float(info_f["cost"]), arrs.n_blocks)
     rmse_g = rmse_from_cost(float(info_g["cost"]), arrs.n_blocks)
-    assert rmse_f < 1e-5 and rmse_g < 1e-5, (rmse_f, rmse_g)
+    assert rmse_f < RECOVERY_RMSE and rmse_g < RECOVERY_RMSE, (rmse_f, rmse_g)
+    # pose agreement: tight at f64; at f32 the two assembly orders walk
+    # different iteration paths on a gauge-free problem
+    tol = 1e-4 if _F64 else 1e-2
     np.testing.assert_allclose(np.asarray(cam_g), np.asarray(cam_f),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=tol, atol=tol)
     np.testing.assert_allclose(np.asarray(caps_g), np.asarray(caps_f),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=10 * tol, atol=tol)
 
 
 def test_grouped_assembly_exact_under_bf16_default():
@@ -424,9 +442,10 @@ def test_lm_iterative_schur_matches_dense():
     cam_i, caps_i, _, info_i = run("cg")
     rmse_d = rmse_from_cost(float(info_d["cost"]), arrs.n_blocks)
     rmse_i = rmse_from_cost(float(info_i["cost"]), arrs.n_blocks)
-    assert rmse_d < 1e-5 and rmse_i < 1e-5, (rmse_d, rmse_i)
+    assert rmse_d < RECOVERY_RMSE and rmse_i < RECOVERY_RMSE, (rmse_d, rmse_i)
     np.testing.assert_allclose(np.asarray(cam_i), np.asarray(cam_d),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=1e-3 if _F64 else 1e-2,
+                               atol=1e-3 if _F64 else 1e-2)
 
 
 def test_huber_loss_resists_outlier():
@@ -548,6 +567,7 @@ def _solve_term(arrs, cap_poses, tag_poses, config):
     )
 
 
+@pytest.mark.f64_oracle
 def test_lm_termination_reasons():
     """ceres-default termination semantics (ar_slam_util.cpp:1001-1018):
     the gradient test fires on a problem started at its optimum (||J^T
@@ -594,6 +614,7 @@ def test_lm_termination_reasons():
     assert not bool(info["converged"])
 
 
+@pytest.mark.f64_oracle
 def test_lm_gradient_tolerance_fires_mid_run():
     """With function/parameter tolerances disabled, a solvable problem must
     still terminate — via the gradient test — once LM drives ||J^T r||_inf

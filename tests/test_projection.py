@@ -4,6 +4,7 @@ implementing the reference math (projectCorner, ar_slam_util.cpp:131-172)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from ar_slam_tpu.core import projection
@@ -48,6 +49,7 @@ def test_translation_shifts_projection():
     np.testing.assert_allclose(center, [3000 * 0.1 / 2.0, 3000 * -0.05 / 2.0], atol=1e-6)
 
 
+@pytest.mark.f64_oracle
 def test_matches_oracle_random_poses():
     for _ in range(20):
         cam = np.array([RNG.uniform(500, 4000), 0.0, 0.0])
@@ -73,6 +75,7 @@ def test_block_residual_zero_for_exact_observation():
     np.testing.assert_allclose(r, np.zeros(8), atol=1e-10)
 
 
+@pytest.mark.f64_oracle
 def test_residual_jacobian_matches_finite_difference():
     cam = jnp.array([3000.0, 0.0, 0.0])
     inv_cap = jnp.array([0.1, 0.2, 0.3, 0.05, -0.1, 0.2])

@@ -4,6 +4,7 @@ init_ar_pose, mirroring the reference semantics (ar_slam_util.cpp:52-128)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ar_slam_tpu.core import projection, seeding
 
@@ -57,6 +58,7 @@ def test_init_ar_pose_reprojects_near_observation():
     assert err < 5.0, f"seed reprojection error {err} px too large"
 
 
+@pytest.mark.f64_oracle
 def test_init_roundtrip_capture_then_tag():
     """init_capture_pose and init_ar_pose are mutually consistent: seeding a
     tag from a capture seeded from that tag recovers the tag pose."""
@@ -69,6 +71,7 @@ def test_init_roundtrip_capture_then_tag():
     np.testing.assert_allclose(np.asarray(seeded_tag), np.asarray(tag), atol=1e-9)
 
 
+@pytest.mark.f64_oracle
 def test_multi_anchor_single_is_reference_seed():
     """seed_anchors="multi" with exactly ONE valid anchor must reduce
     bit-identically to the reference's single-init_block seed
